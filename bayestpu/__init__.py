@@ -1,0 +1,29 @@
+"""bayestpu — a TPU-native engine for dropout-based Bayesian neural networks.
+
+A from-scratch JAX/XLA/Pallas/pjit re-design of the capabilities of the
+os-hxfan/BayesNN_FPGA DAC'23/TCAD'23 artifact (Monte-Carlo Dropout and
+Masksembles combined with multi-exit architectures), built for TPU:
+
+- Dropout masks generated on the fly (threefry / in-kernel PRNG) — never
+  materialized in HBM (ref: HLS dropout layers in the hls4ml fork, enabled by
+  ``cfg['Bayes']=True`` in ``Hardware_Artifact/bayes_hw/hls4ml_build.py:109``).
+- Masksembles fixed-mask banks with on-device bank selection
+  (ref: ``Hardware_Artifact/converter/keras/Masksembles.py``).
+- Multi-exit networks emitting per-exit logits, exit-ensembling and
+  confidence-gated early exit (ref: ``Software_Artifact/software/models``).
+- The MC sample dimension as the primary parallel axis: vmap on chip
+  ("spatial" mapping), lax.scan ("temporal" mapping), pjit-sharded across a
+  device mesh (ref: S_*/T_* models in ``Hardware_Artifact/bayes_hw/models``).
+- An int8 quantized inference path mirroring the QKeras
+  ``quantized_bits(8, 0, alpha=1)`` operating point.
+"""
+
+__version__ = "0.1.0"
+
+from bayestpu.core import rng, quant  # noqa: F401
+from bayestpu.core.config import (  # noqa: F401
+    BayesConfig,
+    DropoutKind,
+    EngineConfig,
+    SamplingMode,
+)

@@ -1,0 +1,242 @@
+"""Dataset loading: MNIST / CIFAR-10 / CIFAR-100 / SVHN, channels-last.
+
+Re-designs the reference's two data paths in one place:
+
+- SW side: torchvision CIFAR with per-dataset normalize stats, train augment
+  (pad-4 random crop + horizontal flip), val split
+  (``Software_Artifact/software/datasets/dataset_loader.py:11-172``).
+- HW side: keras mnist/cifar10 + SVHN ``.mat`` loading and mean-subtract
+  (``Hardware_Artifact/bayes_hw/train_qkeras.py:38-103``,
+  ``bayes_hw/data_utils.py``).
+
+This environment has no network egress and no torchvision/tfds, so loaders
+read the standard raw files from a local directory (IDX for MNIST, python
+pickle batches for CIFAR, ``.mat`` for SVHN) and fall back to a deterministic
+synthetic dataset of identical shapes/dtypes when files are absent — keeping
+every pipeline runnable end-to-end. ``meta["synthetic"]`` reports which path
+was taken.
+
+All arrays are float32 NHWC in [0,1] before normalization; labels int32.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import pickle
+import struct
+from typing import Iterator, NamedTuple
+
+import numpy as np
+
+# normalization stats, (mean, std) per channel — dataset_loader.py:24-47
+DATASET_STATS = {
+    "mnist": ((0.1307,), (0.3081,)),
+    "cifar10": ((0.4914, 0.4822, 0.4465), (0.2470, 0.2435, 0.2616)),
+    "cifar100": ((0.5071, 0.4865, 0.4409), (0.2673, 0.2564, 0.2762)),
+    "svhn": ((0.4377, 0.4438, 0.4728), (0.1980, 0.2010, 0.1970)),
+}
+
+_SHAPES = {
+    "mnist": ((28, 28, 1), 10),
+    "cifar10": ((32, 32, 3), 10),
+    "cifar100": ((32, 32, 3), 100),
+    "svhn": ((32, 32, 3), 10),
+}
+
+DEFAULT_DATA_DIR = os.environ.get(
+    "BAYESTPU_DATA_DIR", os.path.expanduser("~/bayestpu_data"))
+
+
+class Dataset(NamedTuple):
+    x_train: np.ndarray
+    y_train: np.ndarray
+    x_test: np.ndarray
+    y_test: np.ndarray
+    meta: dict
+
+
+def _open_maybe_gz(path: str):
+    return gzip.open(path, "rb") if path.endswith(".gz") else open(path, "rb")
+
+
+def _find(data_dir: str, names: list[str]) -> str | None:
+    for n in names:
+        for cand in (os.path.join(data_dir, n), os.path.join(data_dir, n + ".gz")):
+            if os.path.exists(cand):
+                return cand
+    return None
+
+
+def _read_idx(path: str) -> np.ndarray:
+    with _open_maybe_gz(path) as f:
+        magic = struct.unpack(">I", f.read(4))[0]
+        ndim = magic & 0xFF
+        dims = struct.unpack(f">{ndim}I", f.read(4 * ndim))
+        return np.frombuffer(f.read(), np.uint8).reshape(dims)
+
+
+def _load_mnist(data_dir: str) -> Dataset | None:
+    files = {
+        "xtr": ["train-images-idx3-ubyte", "train-images.idx3-ubyte"],
+        "ytr": ["train-labels-idx1-ubyte", "train-labels.idx1-ubyte"],
+        "xte": ["t10k-images-idx3-ubyte", "t10k-images.idx3-ubyte"],
+        "yte": ["t10k-labels-idx1-ubyte", "t10k-labels.idx1-ubyte"],
+    }
+    paths = {k: _find(os.path.join(data_dir, "mnist"), v) or _find(data_dir, v)
+             for k, v in files.items()}
+    if any(p is None for p in paths.values()):
+        return None
+    xtr = _read_idx(paths["xtr"]).astype(np.float32)[..., None] / 255.0
+    xte = _read_idx(paths["xte"]).astype(np.float32)[..., None] / 255.0
+    ytr = _read_idx(paths["ytr"]).astype(np.int32)
+    yte = _read_idx(paths["yte"]).astype(np.int32)
+    return Dataset(xtr, ytr, xte, yte, {"synthetic": False})
+
+
+def _load_cifar(data_dir: str, name: str) -> Dataset | None:
+    if name == "cifar10":
+        root = None
+        for cand in ("cifar-10-batches-py", "cifar10/cifar-10-batches-py"):
+            p = os.path.join(data_dir, cand)
+            if os.path.isdir(p):
+                root = p
+                break
+        if root is None:
+            return None
+        xs, ys = [], []
+        for i in range(1, 6):
+            with open(os.path.join(root, f"data_batch_{i}"), "rb") as f:
+                d = pickle.load(f, encoding="bytes")
+            xs.append(d[b"data"])
+            ys.append(d[b"labels"])
+        with open(os.path.join(root, "test_batch"), "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        xte, yte = d[b"data"], d[b"labels"]
+        label_key = None
+    else:
+        root = None
+        for cand in ("cifar-100-python", "cifar100/cifar-100-python"):
+            p = os.path.join(data_dir, cand)
+            if os.path.isdir(p):
+                root = p
+                break
+        if root is None:
+            return None
+        with open(os.path.join(root, "train"), "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        xs, ys = [d[b"data"]], [d[b"fine_labels"]]
+        with open(os.path.join(root, "test"), "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        xte, yte = d[b"data"], d[b"fine_labels"]
+        label_key = b"fine_labels"
+    del label_key
+
+    def to_nhwc(a: np.ndarray) -> np.ndarray:
+        return (a.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+                .astype(np.float32) / 255.0)
+
+    xtr = to_nhwc(np.concatenate(xs))
+    ytr = np.concatenate([np.asarray(y) for y in ys]).astype(np.int32)
+    return Dataset(xtr, ytr, to_nhwc(np.asarray(xte)),
+                   np.asarray(yte).astype(np.int32), {"synthetic": False})
+
+
+def _load_svhn(data_dir: str) -> Dataset | None:
+    """SVHN ``.mat`` files (≙ ``train_qkeras.py:58-103`` scipy.io path)."""
+    from scipy.io import loadmat
+    tr = _find(os.path.join(data_dir, "svhn"), ["train_32x32.mat"]) or _find(
+        data_dir, ["train_32x32.mat"])
+    te = _find(os.path.join(data_dir, "svhn"), ["test_32x32.mat"]) or _find(
+        data_dir, ["test_32x32.mat"])
+    if tr is None or te is None:
+        return None
+
+    def conv(path: str):
+        d = loadmat(path)
+        x = d["X"].transpose(3, 0, 1, 2).astype(np.float32) / 255.0
+        y = d["y"].reshape(-1).astype(np.int32) % 10  # label '10' → 0
+        return x, y
+
+    xtr, ytr = conv(tr)
+    xte, yte = conv(te)
+    return Dataset(xtr, ytr, xte, yte, {"synthetic": False})
+
+
+def _synthetic(name: str, n_train: int, n_test: int, seed: int = 0) -> Dataset:
+    """Deterministic class-conditional gaussian-blob images: learnable by
+    small CNNs, so train/eval pipelines exercise real dynamics offline."""
+    shape, n_classes = _SHAPES[name]
+    rng = np.random.default_rng(seed)
+    protos = rng.uniform(0.2, 0.8, size=(n_classes,) + shape).astype(np.float32)
+
+    def make(n: int):
+        y = rng.integers(0, n_classes, size=n).astype(np.int32)
+        x = protos[y] + rng.normal(0, 0.15, size=(n,) + shape).astype(np.float32)
+        return np.clip(x, 0, 1).astype(np.float32), y
+
+    xtr, ytr = make(n_train)
+    xte, yte = make(n_test)
+    return Dataset(xtr, ytr, xte, yte,
+                   {"synthetic": True, "num_classes": n_classes})
+
+
+def get_dataset(name: str, data_dir: str | None = None,
+                allow_synthetic: bool = True,
+                n_synth_train: int = 10_000, n_synth_test: int = 2_000,
+                normalize: bool = False) -> Dataset:
+    """Load a dataset by reference name; fall back to synthetic data.
+
+    ``normalize=True`` applies the per-channel stats the SW artifact uses
+    (``dataset_loader.py:24-47``); the HW artifact trains on raw [0,1] (or
+    mean-subtracted CIFAR), so default is off.
+    """
+    name = name.lower()
+    if name not in _SHAPES:
+        raise KeyError(f"unknown dataset {name!r}; have {sorted(_SHAPES)}")
+    data_dir = data_dir or DEFAULT_DATA_DIR
+    loader = {"mnist": _load_mnist,
+              "cifar10": lambda d: _load_cifar(d, "cifar10"),
+              "cifar100": lambda d: _load_cifar(d, "cifar100"),
+              "svhn": _load_svhn}[name]
+    ds = loader(data_dir) if os.path.isdir(data_dir) else None
+    if ds is None:
+        if not allow_synthetic:
+            raise FileNotFoundError(
+                f"{name} raw files not found under {data_dir}")
+        ds = _synthetic(name, n_synth_train, n_synth_test)
+    if normalize:
+        mean, std = DATASET_STATS[name]
+        mean = np.asarray(mean, np.float32)
+        std = np.asarray(std, np.float32)
+        ds = ds._replace(x_train=(ds.x_train - mean) / std,
+                         x_test=(ds.x_test - mean) / std)
+    ds.meta.setdefault("num_classes", _SHAPES[name][1])
+    ds.meta["name"] = name
+    return ds
+
+
+def train_val_split(ds: Dataset, val_fraction: float = 0.1, seed: int = 0
+                    ) -> tuple[Dataset, np.ndarray, np.ndarray]:
+    """Random val split (≙ ``SubsetRandomSampler`` usage,
+    ``dataset_loader.py:146-158``). Returns (train_ds, x_val, y_val)."""
+    n = ds.x_train.shape[0]
+    idx = np.random.default_rng(seed).permutation(n)
+    n_val = int(n * val_fraction)
+    vi, ti = idx[:n_val], idx[n_val:]
+    return (ds._replace(x_train=ds.x_train[ti], y_train=ds.y_train[ti]),
+            ds.x_train[vi], ds.y_train[vi])
+
+
+def iterate_batches(x: np.ndarray, y: np.ndarray, batch_size: int,
+                    shuffle: bool = True, seed: int = 0,
+                    drop_remainder: bool = True) -> Iterator:
+    """Simple host-side batcher; drop_remainder keeps shapes static for jit
+    (and satisfies the Masksembles batch-divisibility rule when batch_size is
+    a multiple of num_masks, ``utils.py:159-160``)."""
+    n = x.shape[0]
+    idx = np.random.default_rng(seed).permutation(n) if shuffle else np.arange(n)
+    end = n - n % batch_size if drop_remainder else n
+    for i in range(0, end, batch_size):
+        b = idx[i:i + batch_size]
+        yield x[b], y[b]

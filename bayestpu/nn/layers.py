@@ -1,0 +1,157 @@
+"""Quantization-aware NN building blocks (channels-last, MXU-friendly).
+
+These wrap ``flax.linen`` primitives with an optional fixed-point fake-quant
+on weights and activations, mirroring the reference's QKeras layers:
+
+- ``Dense``/``Conv``   ≙ ``QDense``/``QConv2D`` with
+  ``quantized_bits(tbit, ibit, alpha=1)`` kernel/bias quantizers
+  (``Hardware_Artifact/bayes_hw/models/qmodels.py:60-101``).
+- ``QuantAct``         ≙ ``QActivation(quantized_relu(tbit))``.
+- ``ConvBN``           ≙ ``QConv2DBatchnorm`` fused conv+BN
+  (``qmodels.py:163-230``).
+
+With ``quant=None`` they are plain fp32/bf16 layers (the float twins in
+``Hardware_Artifact/bayes_hw/models/models.py``). Compute dtype is a
+parameter so the MXU path can run bf16 while params stay fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from bayestpu.core.config import QuantConfig
+from bayestpu.core.quant import fake_quant
+
+Dtype = Any
+
+
+def _maybe_quant(w: jax.Array, q: QuantConfig | None) -> jax.Array:
+    return fake_quant(w, q) if q is not None else w
+
+
+class Dense(nn.Module):
+    features: int
+    use_bias: bool = True
+    quant: QuantConfig | None = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features),
+            jnp.float32)
+        kernel = _maybe_quant(kernel, self.quant)
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                    preferred_element_type=jnp.float32)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                              jnp.float32)
+            y = y + _maybe_quant(bias, self.quant)
+        return y
+
+
+class Conv(nn.Module):
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
+    padding: str | Sequence[tuple[int, int]] = "SAME"
+    use_bias: bool = True
+    quant: QuantConfig | None = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kshape = tuple(self.kernel_size) + (in_ch, self.features)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape,
+                            jnp.float32)
+        kernel = _maybe_quant(kernel, self.quant)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=tuple(self.strides), padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                              jnp.float32)
+            y = y + _maybe_quant(bias, self.quant)
+        return y
+
+
+class QuantAct(nn.Module):
+    """Activation with optional fixed-point quantization after the
+    nonlinearity (QKeras ``quantized_relu``: unsigned grid)."""
+
+    act: Callable[[jax.Array], jax.Array] = nn.relu
+    quant: QuantConfig | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = self.act(x)
+        if self.quant is not None:
+            # quantized_relu uses an unsigned grid with the same total bits
+            import dataclasses
+            q = dataclasses.replace(self.quant, keep_negative=False)
+            y = fake_quant(y, q)
+        return y
+
+
+class ConvBN(nn.Module):
+    """Conv + BatchNorm with inference-time folding (≙ QConv2DBatchnorm).
+
+    During training BN runs as usual (batch stats into the ``batch_stats``
+    collection); at inference the running stats are folded into the conv
+    output. Fake-quant applies to the conv kernel, as in the fused QKeras
+    layer the reference uses for ResNet (``qmodels.py:163-176``).
+    """
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
+    padding: str | Sequence[tuple[int, int]] = "SAME"
+    quant: QuantConfig | None = None
+    dtype: Dtype = jnp.float32
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        y = Conv(features=self.features, kernel_size=self.kernel_size,
+                 strides=self.strides, padding=self.padding, use_bias=False,
+                 quant=self.quant, dtype=self.dtype, name="conv")(x)
+        y = nn.BatchNorm(use_running_average=not train,
+                         momentum=self.momentum, epsilon=self.epsilon,
+                         name="bn")(y)
+        return y
+
+
+def max_pool(x: jax.Array, window: int | tuple[int, int],
+             strides: int | tuple[int, int] | None = None,
+             padding: str = "VALID") -> jax.Array:
+    if isinstance(window, int):
+        window = (window, window)
+    if strides is None:
+        strides = window
+    if isinstance(strides, int):
+        strides = (strides, strides)
+    return nn.max_pool(x, window_shape=window, strides=strides, padding=padding)
+
+
+def avg_pool(x: jax.Array, window: int | tuple[int, int],
+             strides: int | tuple[int, int] | None = None,
+             padding: str = "VALID") -> jax.Array:
+    if isinstance(window, int):
+        window = (window, window)
+    if strides is None:
+        strides = window
+    if isinstance(strides, int):
+        strides = (strides, strides)
+    return nn.avg_pool(x, window_shape=window, strides=strides, padding=padding)
+
+
+def global_avg_pool(x: jax.Array) -> jax.Array:
+    return jnp.mean(x, axis=(1, 2))

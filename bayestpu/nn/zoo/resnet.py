@@ -1,0 +1,174 @@
+"""ResNet family: ResNet-18 multi-exit Bayesian variants + ResNet-20.
+
+Mirrors ``Software_Artifact/software/models/resnet18/resnet18.py``:
+
+- CIFAR stem: 3×3 s1 conv + BN, **no relu before stage 1** (``:144``:
+  ``out = self.bn1(self.conv1(x))``).
+- 4 stages of BasicBlocks [2,2,2,2] at 64/128/256/512.
+- Early exits after stages 1/2/3 with cascades of stride-2 conv+BN bringing
+  channels to 512, then ``avg_pool(relu, 4)`` → linear (``:102-118,144-180``).
+- Dropout placement options (``ResNet18MC``/``ResNet18MCEarlyExit``,
+  ``:212-346``): ``dropout_exit`` puts a Bayesian site right before each
+  exit's linear head; ``dropout='block'`` appends a 2D site after stages
+  1..3; ``dropout='layer'`` after every BasicBlock except the very last.
+- ``mask_type`` MCD vs Masksembles dispatch becomes ``BayesConfig.kind``.
+
+Also ``ResNet20`` — the HW artifact's CIFAR model
+(``Hardware_Artifact/bayes_hw/models/qmodels.py:163-230``
+``QResNet20ForCIFAR10``): 3 stages × 3 blocks at 16/32/64 with fused
+conv+BN (our ``ConvBN`` with ``quant``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from bayestpu.core.config import BayesConfig, QuantConfig
+from bayestpu.nn.bayes import BayesSite
+from bayestpu.nn.layers import ConvBN, Dense, avg_pool
+from bayestpu.nn.multiexit import ExitOutputs, stack_exits
+from bayestpu.nn.zoo.registry import register_model
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    quant: QuantConfig | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        residual = x
+        y = ConvBN(self.planes, (3, 3), (self.stride, self.stride),
+                   quant=self.quant, dtype=self.dtype, name="convbn1")(
+            x, train=train)
+        y = nn.relu(y)
+        y = ConvBN(self.planes, (3, 3), quant=self.quant, dtype=self.dtype,
+                   name="convbn2")(y, train=train)
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            residual = ConvBN(self.planes, (1, 1),
+                              (self.stride, self.stride), quant=self.quant,
+                              dtype=self.dtype, name="downsample")(
+                x, train=train)
+        return nn.relu(y + residual)
+
+
+class _ExitHead(nn.Module):
+    """Stride-2 conv cascade to 512ch + avgpool + (site) + linear
+    (``resnet18.py:102-118``)."""
+
+    channels: Sequence[int]     # e.g. (128, 256, 512) for exit 1
+    num_classes: int
+    bayes: BayesConfig | None   # site before linear when dropout_exit
+    quant: QuantConfig | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False
+                 ) -> tuple[jax.Array, jax.Array]:
+        y = nn.relu(x)
+        for i, ch in enumerate(self.channels):
+            y = ConvBN(ch, (3, 3), (2, 2), quant=self.quant,
+                       dtype=self.dtype, name=f"convbn{i + 1}")(y, train=train)
+            if i + 1 < len(self.channels):
+                y = nn.relu(y)
+        y = avg_pool(nn.relu(y), min(4, y.shape[1]))
+        feat = y.reshape((y.shape[0], -1))
+        y = feat
+        if self.bayes is not None:
+            y = BayesSite(self.bayes, name="exit_bayes")(
+                y, sample_idx=sample_idx, train=train)
+        return Dense(self.num_classes, quant=self.quant, dtype=self.dtype,
+                     name="linear")(y), feat
+
+
+class ResNet18(nn.Module):
+    """ResNet-18 with {1,4} exits and configurable Bayesian sites."""
+
+    bayes: BayesConfig = BayesConfig()
+    num_classes: int = 100
+    n_exits: int = 4
+    dropout_exit: bool = True
+    dropout: str | None = None       # None | "block" | "layer"
+    stage_blocks: Sequence[int] = (2, 2, 2, 2)
+    stage_planes: Sequence[int] = (64, 128, 256, 512)
+    quant: QuantConfig | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False
+                 ) -> ExitOutputs:
+        q, dt = self.quant, self.dtype
+        n_stages = len(self.stage_blocks)
+        site_kw = dict(sample_idx=sample_idx, train=train)
+
+        out = ConvBN(self.stage_planes[0], (3, 3), quant=q, dtype=dt,
+                     name="stem")(x, train=train)
+
+        exits: list[jax.Array] = []
+        feats: list[jax.Array] = []
+        for s in range(n_stages):
+            for b in range(self.stage_blocks[s]):
+                stride = 2 if (s > 0 and b == 0) else 1
+                out = BasicBlock(self.stage_planes[s], stride, quant=q,
+                                 dtype=dt, name=f"layer{s + 1}_{b}")(
+                    out, train=train)
+                is_very_last = (s == n_stages - 1 and
+                                b == self.stage_blocks[s] - 1)
+                if self.dropout == "layer" and not is_very_last:
+                    out = BayesSite(self.bayes,
+                                    name=f"bayes_l{s + 1}_{b}")(out, **site_kw)
+            if self.dropout == "block" and s < n_stages - 1:
+                out = BayesSite(self.bayes, name=f"bayes_s{s + 1}")(
+                    out, **site_kw)
+            if self.n_exits > 1 and s < n_stages - 1:
+                chans = tuple(self.stage_planes[s + 1:])
+                logit, feat = _ExitHead(
+                    chans, self.num_classes,
+                    self.bayes if self.dropout_exit else None,
+                    quant=q, dtype=dt, name=f"exit{s + 1}")(out, **site_kw)
+                exits.append(logit)
+                feats.append(feat)
+
+        out = avg_pool(nn.relu(out), min(4, out.shape[1]))
+        feat = out.reshape((out.shape[0], -1))
+        out = feat
+        if self.dropout_exit:
+            out = BayesSite(self.bayes, name="bayes_final")(out, **site_kw)
+        final = Dense(self.num_classes, quant=q, dtype=dt, name="linear")(out)
+        exits.append(final)
+        feats.append(feat)
+        # feature dims differ per exit only via spatial pooling; they all end
+        # at 512 for the default config so stacking is well-defined.
+        try:
+            return stack_exits(exits, feats)
+        except (ValueError, TypeError):
+            return stack_exits(exits)
+
+
+@register_model("resnet18")
+def build_resnet18(**kw) -> ResNet18:
+    kw.setdefault("n_exits", 1)
+    kw.setdefault("dropout_exit", False)
+    return ResNet18(**kw)
+
+
+@register_model("resnet18_me")
+def build_resnet18_me(**kw) -> ResNet18:
+    kw.setdefault("n_exits", 4)
+    return ResNet18(**kw)
+
+
+@register_model("resnet20")
+def build_resnet20(**kw) -> ResNet18:
+    """CIFAR ResNet-20 (HW artifact family, ``qmodels.py:210-230``)."""
+    kw.setdefault("stage_blocks", (3, 3, 3))
+    kw.setdefault("stage_planes", (16, 32, 64))
+    kw.setdefault("n_exits", 1)
+    kw.setdefault("dropout_exit", True)
+    kw.setdefault("num_classes", 10)
+    return ResNet18(**kw)

@@ -1,0 +1,203 @@
+"""VGG family: VGG-11/16/19 with Bayesian and multi-exit variants.
+
+Mirrors both reference zoos:
+
+- SW ``VGG19`` (cfg-E with BN, 5 conv blocks; classifier for 32×32 inputs is
+  a single Linear(512, classes) with an optional Bayesian site before it) —
+  ``Software_Artifact/software/models/vgg19/vgg19.py:121-192``.
+- SW ``VGG19EarlyExit``: exits after blocks 1-4 through stride-2 conv+BN
+  cascades to 512 channels, avg_pool(2), classifier; final exit is the full
+  backbone (``vgg19.py:256-324``). ``VGG19MCEarlyExit`` adds sites before
+  each exit classifier and optionally after every block (``:327-382``).
+- HW ``QVGG11``: fused conv+BN blocks [f,2f,4f,4f,8f,8f,8f,8f] with pools
+  after blocks 1,2,4,6,8 and a dense(512)+BN+relu → dense(512)+relu →
+  dense(10) head (``Hardware_Artifact/bayes_hw/models/qmodels.py:236-354``)
+  — reproduced here as ``vgg11`` with ``fused_bn=True`` semantics (our
+  ``ConvBN`` always folds at inference).
+- HW ``T_QVGG11_bayes_me``: a 2nd exit from a strided conv mid-net
+  (``t_qmodels_bayes_me.py:359-375``) — the ``vgg11_me`` builder.
+
+Block configs use the torchvision convention: int = conv channels,
+'M' = 2×2 max-pool.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from bayestpu.core.config import BayesConfig, QuantConfig
+from bayestpu.nn.bayes import BayesSite
+from bayestpu.nn.layers import ConvBN, Dense, QuantAct, avg_pool, max_pool
+from bayestpu.nn.multiexit import ExitOutputs, stack_exits
+from bayestpu.nn.zoo.registry import register_model
+
+CFGS: dict[str, list] = {
+    # vgg11/16/19 block structure (vgg19.py:187 for E; qmodels.py for 11)
+    "vgg11": [64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"],
+    "vgg16": [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+              512, 512, 512, "M", 512, 512, 512, "M"],
+    "vgg19": [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+              512, 512, 512, 512, "M", 512, 512, 512, 512, "M"],
+}
+
+
+def _blocks_of(cfg: list) -> list[list[int]]:
+    blocks, cur = [], []
+    for v in cfg:
+        if v == "M":
+            blocks.append(cur)
+            cur = []
+        else:
+            cur.append(v)
+    if cur:
+        blocks.append(cur)
+    return blocks
+
+
+class _VGGBlock(nn.Module):
+    channels: Sequence[int]
+    quant: QuantConfig | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        for i, ch in enumerate(self.channels):
+            x = ConvBN(ch, (3, 3), quant=self.quant, dtype=self.dtype,
+                       name=f"convbn{i}")(x, train=train)
+            x = QuantAct(quant=self.quant, name=f"relu{i}")(x)
+        return max_pool(x, 2, 2)
+
+
+class _VGGExitHead(nn.Module):
+    """Stride-2 ConvBN cascade + avgpool(2) + (site) + linear
+    (``vgg19.py:259-291``)."""
+
+    channels: Sequence[int]
+    num_classes: int
+    bayes: BayesConfig | None
+    quant: QuantConfig | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False
+                 ) -> tuple[jax.Array, jax.Array]:
+        y = nn.relu(x)
+        for i, ch in enumerate(self.channels):
+            y = ConvBN(ch, (3, 3), (2, 2), quant=self.quant,
+                       dtype=self.dtype, name=f"convbn{i + 1}")(y, train=train)
+            y = nn.relu(y)
+        if y.shape[1] > 1:
+            y = avg_pool(y, 2)
+        feat = y.reshape((y.shape[0], -1))
+        y = feat
+        if self.bayes is not None:
+            y = BayesSite(self.bayes, name="exit_bayes")(
+                y, sample_idx=sample_idx, train=train)
+        return Dense(self.num_classes, quant=self.quant, dtype=self.dtype,
+                     name="linear")(y), feat
+
+
+class VGG(nn.Module):
+    """Generic multi-exit Bayesian VGG over a block config."""
+
+    cfg_name: str = "vgg19"
+    bayes: BayesConfig = BayesConfig()
+    num_classes: int = 100
+    n_exits: int = 1                 # 1 or (num_blocks) for all-exit
+    dropout_exit: bool = False       # site before each exit classifier
+    dropout: str | None = None       # None | "block": site after each block
+    head_dims: Sequence[int] = ()    # extra dense widths before classifier
+    quant: QuantConfig | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False
+                 ) -> ExitOutputs:
+        blocks = _blocks_of(CFGS[self.cfg_name])
+        n_blocks = len(blocks)
+        q, dt = self.quant, self.dtype
+        site_kw = dict(sample_idx=sample_idx, train=train)
+
+        exits: list[jax.Array] = []
+        feats: list[jax.Array] = []
+        out = x
+        for i, chans in enumerate(blocks):
+            out = _VGGBlock(chans, quant=q, dtype=dt, name=f"block{i}")(
+                out, train=train)
+            if self.dropout == "block" and i < n_blocks - 1:
+                out = BayesSite(self.bayes, name=f"bayes_b{i}")(
+                    out, **site_kw)
+            if self.n_exits > 1 and i < n_blocks - 1:
+                # cascade doubling channels up to 512 (vgg19.py:259-286)
+                chain, c = [], blocks[i][-1]
+                while c < 512:
+                    c *= 2
+                    chain.append(min(c, 512))
+                logit, feat = _VGGExitHead(
+                    chain, self.num_classes,
+                    self.bayes if self.dropout_exit else None,
+                    quant=q, dtype=dt, name=f"exit{i + 1}")(out, **site_kw)
+                exits.append(logit)
+                feats.append(feat)
+
+        feat = out.reshape((out.shape[0], -1))
+        out = feat
+        for j, width in enumerate(self.head_dims):
+            out = Dense(width, quant=q, dtype=dt, name=f"fc_{j}")(out)
+            if j == 0:
+                out = nn.BatchNorm(use_running_average=not train,
+                                   name=f"fc_bn_{j}")(out)
+            out = QuantAct(quant=q, name=f"fc_relu_{j}")(out)
+        if self.dropout_exit:
+            out = BayesSite(self.bayes, name="bayes_final")(out, **site_kw)
+        final = Dense(self.num_classes, quant=q, dtype=dt,
+                      name="classifier")(out)
+        exits.append(final)
+        feats.append(feat)
+        try:
+            return stack_exits(exits, feats)
+        except (ValueError, TypeError):
+            return stack_exits(exits)
+
+
+@register_model("vgg11")
+def build_vgg11(**kw) -> VGG:
+    kw.setdefault("cfg_name", "vgg11")
+    kw.setdefault("num_classes", 10)
+    kw.setdefault("head_dims", (512, 512))   # qmodels.py:330-343 dense head
+    kw.setdefault("dropout_exit", True)
+    return VGG(**kw)
+
+
+@register_model("vgg11_me")
+def build_vgg11_me(**kw) -> VGG:
+    kw.setdefault("cfg_name", "vgg11")
+    kw.setdefault("num_classes", 10)
+    kw.setdefault("head_dims", (512, 512))
+    kw.setdefault("n_exits", 5)
+    kw.setdefault("dropout_exit", True)
+    return VGG(**kw)
+
+
+@register_model("vgg16")
+def build_vgg16(**kw) -> VGG:
+    kw.setdefault("cfg_name", "vgg16")
+    return VGG(**kw)
+
+
+@register_model("vgg19")
+def build_vgg19(**kw) -> VGG:
+    kw.setdefault("cfg_name", "vgg19")
+    return VGG(**kw)
+
+
+@register_model("vgg19_me")
+def build_vgg19_me(**kw) -> VGG:
+    kw.setdefault("cfg_name", "vgg19")
+    kw.setdefault("n_exits", 5)
+    kw.setdefault("dropout_exit", True)
+    return VGG(**kw)

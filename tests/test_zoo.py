@@ -1,0 +1,73 @@
+"""Model zoo: shapes, exit counts, BN mutability, Bayes placement options."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bayestpu.core.config import BayesConfig, DropoutKind, QuantConfig
+from bayestpu.core.rng import BAYES_RNG
+from bayestpu.nn.zoo import available_models, get_model
+
+
+def _init_apply(model, x, train=False):
+    key = jax.random.key(0)
+    vs = model.init({"params": key, BAYES_RNG: key}, x, train=train)
+    out, _ = model.apply(vs, x, train=train, rngs={BAYES_RNG: key},
+                         mutable=["batch_stats"])
+    return vs, out
+
+
+def test_registry_contents():
+    names = available_models()
+    for required in ["lenet", "lenet_me", "resnet18", "resnet18_me",
+                     "resnet20", "vgg11", "vgg11_me", "vgg16", "vgg19",
+                     "vgg19_me"]:
+        assert required in names
+
+
+@pytest.mark.parametrize("name,shape,n_exits,classes", [
+    ("resnet18", (2, 32, 32, 3), 1, 100),
+    ("resnet18_me", (2, 32, 32, 3), 4, 100),
+    ("resnet20", (2, 32, 32, 3), 1, 10),
+    ("vgg11", (2, 32, 32, 3), 1, 10),
+    ("vgg19_me", (2, 32, 32, 3), 5, 100),
+])
+def test_exit_counts_and_shapes(name, shape, n_exits, classes):
+    model = get_model(name)
+    _, out = _init_apply(model, jnp.zeros(shape))
+    assert out.logits.shape == (n_exits, shape[0], classes)
+
+
+def test_resnet_block_dropout_placements():
+    for mode in (None, "block", "layer"):
+        model = get_model("resnet18", dropout=mode, dropout_exit=True,
+                          bayes=BayesConfig(rate=0.3))
+        _, out = _init_apply(model, jnp.zeros((2, 32, 32, 3)))
+        assert out.logits.shape == (1, 2, 100)
+
+
+def test_resnet_masksembles_exit():
+    cfg = BayesConfig(kind=DropoutKind.MASK, num_masks=4, scale=2.0)
+    model = get_model("resnet18_me", bayes=cfg)
+    x = jnp.zeros((4, 32, 32, 3))
+    vs, out = _init_apply(model, x)
+    assert "masks" in vs  # bank variables created
+    assert out.logits.shape == (4, 4, 100)
+
+
+def test_quantized_vgg11_runs():
+    model = get_model("vgg11", quant=QuantConfig(8, 0))
+    _, out = _init_apply(model, jnp.zeros((2, 32, 32, 3)))
+    assert out.logits.shape == (1, 2, 10)
+
+
+def test_batchnorm_stats_update():
+    model = get_model("resnet20")
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (4, 32, 32, 3))
+    vs = model.init({"params": key, BAYES_RNG: key}, x, train=True)
+    _, upd = model.apply(vs, x, train=True, rngs={BAYES_RNG: key},
+                         mutable=["batch_stats"])
+    old = jax.tree_util.tree_leaves(vs["batch_stats"])
+    new = jax.tree_util.tree_leaves(upd["batch_stats"])
+    assert any((a != b).any() for a, b in zip(old, new))
