@@ -1,0 +1,293 @@
+"""Pallas TPU kernels: matmul with fused dropout-mask generation.
+
+The reference's hls4ml fork implements dropout as an HLS layer with an
+on-fabric RNG applied at inference (SURVEY §2.9: dropout layers survive into
+the HLS graph; latency/LUTs scale with their count). The TPU-native
+equivalent built here: the Bernoulli mask is generated *inside* the matmul
+kernel from the on-core PRNG and applied to the activation tile in VMEM
+registers — the mask never exists in HBM and costs no extra memory
+bandwidth. This is the BASELINE.json north-star kernel ("dropout-mask
+generation fused into Pallas matmul/conv kernels — on-the-fly PRNG masking,
+no HBM mask tensors").
+
+Two mask sources, one kernel family (the unification noted in
+``bayestpu.nn.bayes``):
+
+- ``dropout_matmul(x, w, seeds, rate)`` — per-element Bernoulli keep mask
+  from ``pltpu.prng_random_bits``, seeded per (m, k) grid tile so every
+  output-column tile j sees the *same* mask for a given x element
+  (correctness requirement: the mask is a property of x, not of the output
+  tile).
+- ``bank_matmul(x, w, bank, sample_idx)`` — Masksembles: the mask is row
+  ``sample_idx`` of a fixed bank over the K (channel) axis, selected via
+  scalar prefetch (``PrefetchScalarGridSpec``) — the analogue of the fork's
+  ``predict(x, mask_index=i)`` (``Hardware_Artifact/bayes_hw/
+  hls4ml_pred.py:109``).
+
+Both carry a custom VJP that **regenerates** the mask from the same seeds in
+the backward pass instead of saving it — the memory the HLS flow never
+spends on masks, we don't spend either.
+
+PRNG design: a counter-based integer hash (murmur3-style finalizer over the
+global element index and a per-(seed, tile) stream constant) computed with
+plain VPU ops — not ``pltpu.prng_random_bits``. Three reasons: (a) the mask
+for element (r, c) is a pure function of (seeds, tile, r, c), so the VJP can
+regenerate it exactly and any execution mapping (temporal, spatial, sharded,
+re-tiled) reproduces it bit-for-bit; (b) the kernel runs identically in the
+Pallas interpreter on CPU (the csim analogue — the TPU-side
+``prng_random_bits`` has no CPU interpretation); (c) it costs ~10 integer
+VPU ops per element, overlapped with the MXU dot. The keep decision is
+``bits < keep_prob·2³²`` — Bernoulli(keep) exactly, bitwise different from
+jax.random's threefry, so engine-vs-kernel parity tests are statistical +
+structural (see ``tests/test_pallas_kernels.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pad_to(x: jax.Array, mults: Sequence[int]) -> jax.Array:
+    pads = [(0, (-d) % m) for d, m in zip(x.shape, mults)]
+    if any(p[1] for p in pads):
+        return jnp.pad(x, pads)
+    return x
+
+
+def _keep_threshold(rate: float) -> int:
+    # keep iff bits < keep_prob * 2^32  (uint32 compare)
+    return min(int(round((1.0 - rate) * 2.0 ** 32)), 2 ** 32 - 1)
+
+
+def _mix(x: jax.Array) -> jax.Array:
+    """murmur3/triple32-style avalanche finalizer on uint32 lanes."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _tile_bits(shape: tuple[int, int], s0, s1, ti, tk,
+               block_m: int, block_k: int) -> jax.Array:
+    """Counter-based uniform uint32 bits for one (block_m, block_k) tile.
+
+    The counter is the GLOBAL element position (tile ids × block sizes +
+    in-tile iota), so the bit for an element does not depend on the tiling —
+    re-blocking the kernel cannot change the mask.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    grow = jnp.uint32(ti) * jnp.uint32(block_m) + rows
+    gcol = jnp.uint32(tk) * jnp.uint32(block_k) + cols
+    stream = _mix(jnp.uint32(s0).astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+                  ^ jnp.uint32(s1).astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+                  ^ jnp.uint32(0xC2B2AE35))
+    x = _mix(grow * jnp.uint32(0x27D4EB2F) ^ gcol ^ stream)
+    return _mix(x ^ (gcol * jnp.uint32(0x165667B1)))
+
+
+# ---------------------------------------------------------------- MC dropout
+
+
+def _dropout_matmul_kernel(seed_ref, x_ref, w_ref, o_ref, acc_ref, *,
+                           rate: float, nk: int, block_m: int, block_k: int):
+    i, k = pl.program_id(0), pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Bits depend on (seeds, global element position) — independent of j so
+    # the x mask is consistent across all output-column tiles.
+    bits = _tile_bits(x_ref.shape, seed_ref[0], seed_ref[1], i, k,
+                      block_m, block_k)
+    keep = bits < jnp.uint32(_keep_threshold(rate))
+    scale = 1.0 / (1.0 - rate)
+    xm = jnp.where(keep, x_ref[:] * scale, 0.0)
+    acc_ref[:] += jnp.dot(xm, w_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def _dropout_mask_kernel(seed_ref, g_ref, o_ref, *, rate: float,
+                         block_m: int, block_k: int):
+    """Apply the SAME global mask to an (M, K) tensor — used by the VJP for
+    dx = (g @ wᵀ) ⊙ mask / keep, regenerated instead of saved."""
+    i, k = pl.program_id(0), pl.program_id(1)
+    bits = _tile_bits(g_ref.shape, seed_ref[0], seed_ref[1], i, k,
+                      block_m, block_k)
+    keep = bits < jnp.uint32(_keep_threshold(rate))
+    o_ref[:] = jnp.where(keep, g_ref[:] * (1.0 / (1.0 - rate)), 0.0)
+
+
+def _dropout_apply(x: jax.Array, seeds: jax.Array, rate: float,
+                   block_m: int, block_k: int,
+                   interpret: bool = False) -> jax.Array:
+    """dropout(x) alone, via the same per-tile PRNG stream as the fused
+    matmul (shared by the VJP and by consumers that need the masked
+    activation itself, e.g. dw)."""
+    m, k_dim = x.shape
+    xp = _pad_to(x, (block_m, block_k))
+    mp, kp = xp.shape
+    out = pl.pallas_call(
+        functools.partial(_dropout_mask_kernel, rate=rate,
+                          block_m=block_m, block_k=block_k),
+        grid=(mp // block_m, kp // block_k),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_m, block_k), lambda i, k: (i, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_k), lambda i, k: (i, k),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, kp), jnp.float32),
+        interpret=interpret,
+    )(seeds, xp)
+    return out[:m, :k_dim]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def dropout_matmul(x: jax.Array, w: jax.Array, seeds: jax.Array,
+                   rate: float, block_m: int = 128, block_n: int = 128,
+                   block_k: int = 128, interpret: bool = False) -> jax.Array:
+    """``dropout(x) @ w`` with the Bernoulli mask fused into the kernel.
+
+    x: (M, K) float32/bf16; w: (K, N); seeds: (2,) int32 (from
+    ``bayestpu.core.rng.key_to_seeds``); rate: static drop probability.
+    """
+    return _dropout_matmul_fwd(x, w, seeds, rate, block_m, block_n, block_k,
+                               interpret)[0]
+
+
+def _dropout_matmul_fwd(x, w, seeds, rate, block_m, block_n, block_k,
+                        interpret):
+    if rate == 0.0:
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        return y, (x, w, seeds)
+    m, k_dim = x.shape
+    k2, n = w.shape
+    assert k_dim == k2, (x.shape, w.shape)
+    xp = _pad_to(x, (block_m, block_k))
+    wp = _pad_to(w, (block_k, block_n))
+    mp, kp = xp.shape
+    np_ = wp.shape[1]
+    nk = kp // block_k
+    y = pl.pallas_call(
+        functools.partial(_dropout_matmul_kernel, rate=rate, nk=nk,
+                          block_m=block_m, block_k=block_k),
+        grid=(mp // block_m, np_ // block_n, nk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=4 * (mp * kp + kp * np_ + mp * np_),
+            transcendentals=0),
+        interpret=interpret,
+    )(seeds, xp, wp)
+    return y[:m, :n], (x, w, seeds)
+
+
+def _dropout_matmul_bwd(rate, block_m, block_n, block_k, interpret,
+                        res, g):
+    x, w, seeds = res
+    if rate == 0.0:
+        return (g @ w.T, x.T @ g, None)
+    # dx = (g @ wᵀ) ⊙ mask/keep — mask regenerated from the same seeds
+    gx = jnp.dot(g, w.T, preferred_element_type=jnp.float32)
+    dx = _dropout_apply(gx, seeds, rate, block_m, block_k, interpret)
+    # dw = dropout(x)ᵀ @ g
+    xm = _dropout_apply(x, seeds, rate, block_m, block_k, interpret)
+    dw = jnp.dot(xm.T, g, preferred_element_type=jnp.float32)
+    return dx.astype(x.dtype), dw.astype(w.dtype), None
+
+
+dropout_matmul.defvjp(_dropout_matmul_fwd, _dropout_matmul_bwd)
+
+
+# --------------------------------------------------------------- Masksembles
+
+
+def _bank_matmul_kernel(idx_ref, x_ref, w_ref, bank_ref, o_ref, acc_ref, *,
+                        nk: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # bank_ref block is (1, block_k): row sample_idx, k-th chunk (the row is
+    # selected by the scalar-prefetch index_map below).
+    xm = x_ref[:] * bank_ref[0, :][None, :]
+    acc_ref[:] += jnp.dot(xm, w_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def bank_matmul(x: jax.Array, w: jax.Array, bank: jax.Array,
+                sample_idx: jax.Array, block_m: int = 128,
+                block_n: int = 128, block_k: int = 128,
+                interpret: bool = False) -> jax.Array:
+    """``(x ⊙ bank[sample_idx]) @ w`` — Masksembles fused matmul.
+
+    The mask row is chosen by a scalar-prefetch argument, so one compiled
+    kernel serves every mask index (the fork's ``mask_index`` predict arg).
+    bank: (num_masks, K) float32.
+    """
+    m, k_dim = x.shape
+    n = w.shape[1]
+    xp = _pad_to(x, (block_m, block_k))
+    wp = _pad_to(w, (block_k, block_n))
+    bankp = _pad_to(bank, (1, block_k))
+    mp, kp = xp.shape
+    np_ = wp.shape[1]
+    nk = kp // block_k
+    idx = jnp.asarray(sample_idx, jnp.int32).reshape((1,)) % bank.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(mp // block_m, np_ // block_n, nk),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, k, idx: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k, idx: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k), lambda i, j, k, idx: (idx[0], k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n),
+                               lambda i, j, k, idx: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+    )
+    y = pl.pallas_call(
+        functools.partial(_bank_matmul_kernel, nk=nk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(idx, xp, wp, bankp)
+    return y[:m, :n]

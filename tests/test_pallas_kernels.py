@@ -1,0 +1,145 @@
+"""Pallas fused-mask matmul kernels vs the naive XLA path (interpret mode).
+
+On CPU the kernels run in the Pallas interpreter (the csim analogue —
+SURVEY §2.9: "interpreter mode for Pallas as the csim analogue"); compiled
+behaviour is exercised on the real chip by bench.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayestpu.core.rng import key_to_seeds
+from bayestpu.kernels import mask_bank
+from bayestpu.kernels.masked_matmul import (
+    bank_matmul,
+    dropout_matmul,
+    _dropout_apply,
+)
+
+I = dict(interpret=True)
+
+
+def test_rate_zero_is_plain_matmul(key):
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (32, 64))
+    w = jax.random.normal(k2, (64, 16))
+    seeds = key_to_seeds(key)[:2].astype(jnp.int32)
+    y = dropout_matmul(x, w, seeds, 0.0, **I)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x @ w), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_dropout_matmul_structure(key):
+    """y must equal (x ⊙ m / keep) @ w for SOME binary mask m — recover the
+    mask via the kernel's own mask-apply path and check exact consistency."""
+    k1, k2 = jax.random.split(key)
+    m_dim, k_dim, n_dim = 16, 32, 8
+    x = jax.random.normal(k1, (m_dim, k_dim))
+    w = jax.random.normal(k2, (k_dim, n_dim))
+    seeds = jnp.asarray([12345, 678], jnp.int32)
+    rate = 0.4
+    y = dropout_matmul(x, w, seeds, rate, **I)
+    xm = _dropout_apply(x, seeds, rate, 128, 128, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(xm @ w), rtol=1e-4,
+                               atol=1e-4)
+    # the recovered masked activation is binary-scaled: entries are 0 or x/keep
+    ratio = np.asarray(xm) / np.asarray(x)
+    kept = ratio[np.abs(np.asarray(x)) > 1e-6]
+    is_zero = np.isclose(kept, 0.0, atol=1e-5)
+    is_scale = np.isclose(kept, 1 / 0.6, rtol=1e-4)
+    assert np.all(is_zero | is_scale)
+    assert is_zero.any() and is_scale.any()
+
+
+def test_dropout_statistics(key):
+    x = jnp.ones((256, 256))
+    w = jnp.eye(256)
+    rate = 0.3
+    seeds = jnp.asarray([7, 8], jnp.int32)
+    y = np.asarray(dropout_matmul(x, w, seeds, rate, **I))
+    keep_frac = (np.abs(y) > 1e-6).mean()
+    np.testing.assert_allclose(keep_frac, 1 - rate, atol=0.03)
+    np.testing.assert_allclose(y.mean(), 1.0, atol=0.05)  # inverted scaling
+
+
+def test_mask_consistent_across_output_tiles(key):
+    """The j (output-column) grid dim must not change the x mask: columns of
+    w that are identical must produce identical output columns."""
+    x = jax.random.normal(key, (64, 64))
+    w = jnp.tile(jax.random.normal(jax.random.fold_in(key, 1), (64, 1)),
+                 (1, 256))  # 256 identical columns spanning >1 n-tile
+    seeds = jnp.asarray([3, 4], jnp.int32)
+    y = np.asarray(dropout_matmul(x, w, seeds, 0.5, block_n=128, **I))
+    np.testing.assert_allclose(y, np.tile(y[:, :1], (1, y.shape[1])),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_determinism_and_seed_sensitivity(key):
+    x = jax.random.normal(key, (32, 32))
+    w = jnp.eye(32)
+    a = dropout_matmul(x, w, jnp.asarray([1, 2], jnp.int32), 0.5, **I)
+    b = dropout_matmul(x, w, jnp.asarray([1, 2], jnp.int32), 0.5, **I)
+    c = dropout_matmul(x, w, jnp.asarray([1, 3], jnp.int32), 0.5, **I)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_padding_unaligned_shapes(key):
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (37, 45))
+    w = jax.random.normal(k2, (45, 19))
+    seeds = jnp.asarray([5, 6], jnp.int32)
+    y = dropout_matmul(x, w, seeds, 0.25, **I)
+    assert y.shape == (37, 19)
+    xm = _dropout_apply(x, seeds, 0.25, 128, 128, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(xm @ w), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_vjp_consistent_with_forward_mask(key):
+    """grad must use the same mask as the forward pass: for y = sum(drop(x)@w)
+    with w = I, dy/dx == mask/keep (exactly the recovered forward mask)."""
+    x = jax.random.normal(key, (16, 32))
+    w = jnp.eye(32)
+    seeds = jnp.asarray([11, 22], jnp.int32)
+    rate = 0.5
+
+    def f(x):
+        return jnp.sum(dropout_matmul(x, w, seeds, rate, **I))
+
+    g = np.asarray(jax.grad(f)(x))
+    xm = np.asarray(_dropout_apply(x, seeds, rate, 128, 128, interpret=True))
+    mask_scaled = np.where(np.asarray(x) != 0, xm / np.asarray(x), g)
+    np.testing.assert_allclose(g, mask_scaled, rtol=1e-4, atol=1e-4)
+
+
+def test_bank_matmul_matches_reference(key):
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (24, 64))
+    w = jax.random.normal(k2, (64, 32))
+    _, bank = mask_bank.generation_wrapper(64, 4, 2.0, rng=0)
+    bank = jnp.asarray(bank)
+    for i in [0, 3, 5]:  # incl. round-robin wrap
+        y = bank_matmul(x, w, bank, i, **I)
+        want = (x * bank[i % 4]) @ w
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_bank_matmul_traced_index(key):
+    """sample_idx may be a traced scalar (vmapped by the engine)."""
+    x = jax.random.normal(key, (8, 64))
+    w = jnp.eye(64)
+    _, bank = mask_bank.generation_wrapper(64, 4, 2.0, rng=1)
+    bank = jnp.asarray(bank)
+
+    def f(i):
+        return bank_matmul(x, w, bank, i, **I)
+
+    ys = jax.lax.map(f, jnp.arange(4))
+    for i in range(4):
+        np.testing.assert_allclose(np.asarray(ys[i]),
+                                   np.asarray(x * bank[i]), rtol=1e-4,
+                                   atol=1e-4)
