@@ -1,0 +1,91 @@
+"""Training CLI — ≙ ``Hardware_Artifact/bayes_hw/train_qkeras_mcme.py`` and
+the sacred pipeline of ``Software_Artifact/software/main.py``.
+
+Trains a (multi-exit) Bayesian model with the EED loss, early stopping on
+validation accuracy, then saves a full checkpoint and prints the evaluation
+battery. Example (≙ ``scripts/train_pred_eval/train_pred_mnist_lenet_mcme.sh``):
+
+    python -m bayestpu.cli.train --model lenet_me --dataset mnist \
+        --dropout_type mc --mc_samples 5 --epochs 5 --quant_tbit 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+
+from bayestpu.cli import common
+from bayestpu.data.augment import random_crop_flip
+from bayestpu.data.datasets import get_dataset, iterate_batches, train_val_split
+from bayestpu.engine.engine import BayesEngine
+from bayestpu.train.checkpoint import save_checkpoint
+from bayestpu.train.loop import create_state, train_loop
+from bayestpu.train.losses import EEDConfig
+from bayestpu.train.optim import get_optimizer, get_recipe
+
+
+def main(argv=None) -> dict:
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_model_args(p)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--loss_output", default="MSE", choices=["MSE", "KL"])
+    p.add_argument("--no_eed", action="store_true")
+    p.add_argument("--augment", action="store_true")
+    p.add_argument("--val_fraction", type=float, default=0.1)
+    p.add_argument("--out", default="snapshots/run")
+    a = p.parse_args(argv)
+
+    key = jax.random.key(a.seed)
+    ds = get_dataset(a.dataset, a.data_dir)
+    overrides = {k: v for k, v in
+                 {"epochs": a.epochs, "batch_size": a.batch_size,
+                  "lr": a.lr}.items() if v is not None}
+    recipe = get_recipe(a.model.split("_")[0], **overrides)
+    ds, x_val, y_val = train_val_split(ds, a.val_fraction, a.seed)
+    steps = max(len(ds.x_train) // recipe.batch_size, 1)
+
+    model = common.build_model(a)
+    tx = get_optimizer(recipe, steps)
+    state = create_state(
+        model, tx, key,
+        jnp.asarray(ds.x_train[:recipe.batch_size]))
+
+    aug_key = jax.random.fold_in(key, 777)
+
+    def train_batches():
+        for i, (x, y) in enumerate(iterate_batches(
+                ds.x_train, ds.y_train, recipe.batch_size,
+                seed=a.seed + state.step)):
+            if a.augment:
+                x = random_crop_flip(jax.random.fold_in(aug_key, i),
+                                     jnp.asarray(x))
+            yield x, y
+
+    def val_batches():
+        return iterate_batches(x_val, y_val, recipe.test_batch_size,
+                               shuffle=False)
+
+    has_bn = "batch_stats" in state.extra
+    state = train_loop(
+        model, state, tx, train_batches, key, recipe.epochs,
+        val_batches=val_batches,
+        eed_cfg=EEDConfig(use_eed=not a.no_eed, loss_output=a.loss_output),
+        patience=recipe.patience, has_batch_stats=has_bn)
+
+    ckpt = save_checkpoint(a.out, state, key)
+    eng = BayesEngine(model, common.bayes_from_args(a),
+                      common.engine_from_args(a)).attach(state.variables())
+    mets = eng.evaluate(jnp.asarray(ds.x_test[:1000]),
+                        jnp.asarray(ds.y_test[:1000]), ood_check=True)
+    result = {"checkpoint": ckpt, "synthetic": ds.meta["synthetic"], **mets}
+    print(json.dumps(result, indent=2))
+    return result
+
+
+if __name__ == "__main__":
+    main()

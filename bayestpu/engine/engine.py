@@ -1,0 +1,174 @@
+"""BayesEngine — the compile/predict/evaluate/profile facade.
+
+The reference funnels every model through ``HlsLayer``
+(``Hardware_Artifact/converter/keras/nn2bnn.py:152-198``):
+``addHlsConfig`` (backend config), ``compileHlsModel`` (csim shared lib),
+``buildHlsModel`` (Vivado synthesis), ``predict_hls`` (MC-averaged predict),
+``evaluate_hls`` (accuracy), ``compare`` (profiling). The TPU-native
+equivalents:
+
+| reference            | here                                             |
+|----------------------|--------------------------------------------------|
+| addHlsConfig         | ``EngineConfig`` at construction                 |
+| compileHlsModel      | ``compile()`` — jit AOT lower+compile            |
+| buildHlsModel        | (same ``compile()``; XLA is the silicon)          |
+| predict_hls          | ``predict()`` — MC-averaged predictive           |
+| evaluate_hls         | ``evaluate()`` — acc/ECE/NLL/aPE battery         |
+| compare (profiling)  | ``compare()`` + ``cost_analysis()``              |
+| Vivado reports       | ``cost_analysis()`` — XLA cost model (FLOPs,     |
+|                      | bytes, peak memory) ≙ LUT/FF/latency scraping    |
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from bayestpu.core.config import BayesConfig, EngineConfig, SamplingMode
+from bayestpu.core.rng import BAYES_RNG
+from bayestpu.engine import sampler, sharding
+from bayestpu.engine.sampler import Predictive
+from bayestpu.metrics.ece import eval_metrics
+from bayestpu.metrics.entropy import mean_predictive_entropy, random_noise_like
+
+
+class BayesEngine:
+    """Executable wrapper around (model, variables) for MC inference."""
+
+    def __init__(self, model, bayes: BayesConfig | None = None,
+                 config: EngineConfig = EngineConfig(), mesh=None):
+        self.model = model
+        self.bayes = bayes if bayes is not None else getattr(
+            model, "bayes", BayesConfig())
+        self.config = config
+        self.mesh = mesh
+        self.variables: Any = None
+        self._compiled = {}
+
+    # ------------------------------------------------------------ lifecycle
+
+    def init(self, key: jax.Array, sample_input: jax.Array) -> "BayesEngine":
+        self.variables = self.model.init(
+            {"params": key, BAYES_RNG: key}, sample_input)
+        return self
+
+    def attach(self, variables: Any) -> "BayesEngine":
+        self.variables = variables
+        return self
+
+    def _predict_fn(self, num_samples: int):
+        mode = self.config.mode
+
+        def fn(variables, x, key):
+            if mode is SamplingMode.TEMPORAL:
+                return sampler.mc_moments(self.model, variables, x, key,
+                                          num_samples)
+            return sampler.predictive(self.model, variables, x, key,
+                                      num_samples, SamplingMode.SPATIAL)
+        return jax.jit(fn)
+
+    def compile(self, sample_input: jax.Array,
+                num_samples: int | None = None) -> dict:
+        """AOT-compile the predict executable (≙ ``compileHlsModel`` —
+        the csim build of the generated design). Returns compile stats."""
+        s = sampler.num_effective_samples(self.bayes, num_samples)
+        fn = self._predict_fn(s)
+        t0 = time.perf_counter()
+        lowered = fn.lower(self.variables, sample_input, jax.random.key(0))
+        compiled = lowered.compile()
+        dt = time.perf_counter() - t0
+        self._compiled[(sample_input.shape, s)] = compiled
+        return {"compile_seconds": dt, "num_samples": s,
+                "input_shape": tuple(sample_input.shape)}
+
+    # ------------------------------------------------------------ inference
+
+    def predict(self, x: jax.Array, key: jax.Array | None = None,
+                num_samples: int | None = None) -> Predictive:
+        """MC-averaged predictive distribution (≙ ``predict_hls``,
+        ``nn2bnn.py:187-191``; per-mask loop of ``hls4ml_pred.py:106-110``)."""
+        if self.variables is None:
+            raise RuntimeError("engine not initialized: call init()/attach()")
+        key = key if key is not None else jax.random.key(0)
+        s = sampler.num_effective_samples(self.bayes, num_samples)
+        if self.mesh is not None:
+            return sharding.sharded_predictive(
+                self.model, self.variables, x, key, s, self.mesh)
+        compiled = self._compiled.get((tuple(x.shape), s))
+        if compiled is not None:
+            return compiled(self.variables, x, key)
+        return self._predict_fn(s)(self.variables, x, key)
+
+    def evaluate(self, x: jax.Array, y: jax.Array,
+                 key: jax.Array | None = None,
+                 num_samples: int | None = None,
+                 ood_check: bool = False) -> dict:
+        """Full metric battery on the MC-averaged prediction — the
+        acceptance test of the flow (≙ ``hls4ml_pred.py:89-119`` printing
+        Keras-vs-HLS acc/ECE/aPE). Metrics are per final exit."""
+        pred = self.predict(x, key, num_samples)
+        mets = {k: float(v) for k, v in
+                eval_metrics(pred.probs[-1], y).items()}
+        mets["aPE"] = float(mean_predictive_entropy(pred.probs[-1]))
+        if ood_check:
+            noise = random_noise_like(jax.random.key(99), x.shape,
+                                      float(x.mean()), float(x.std()))
+            noise_pred = self.predict(noise, key, num_samples)
+            mets["aPE_ood"] = float(
+                mean_predictive_entropy(noise_pred.probs[-1]))
+        return mets
+
+    # ----------------------------------------------------------- profiling
+
+    def compare(self, x: jax.Array, reference_probs: jax.Array,
+                key: jax.Array | None = None) -> dict:
+        """Numerical comparison against a golden prediction (≙
+        ``HlsLayer.compare`` → hls4ml profiling, ``nn2bnn.py:197-198``)."""
+        pred = self.predict(x, key)
+        diff = jnp.abs(pred.probs[-1] - reference_probs)
+        agree = jnp.mean((jnp.argmax(pred.probs[-1], -1)
+                          == jnp.argmax(reference_probs, -1))
+                         .astype(jnp.float32))
+        return {"max_abs_diff": float(diff.max()),
+                "mean_abs_diff": float(diff.mean()),
+                "top1_agreement": float(agree)}
+
+    def cost_analysis(self, sample_input: jax.Array,
+                      num_samples: int | None = None) -> dict:
+        """XLA cost model for the compiled executable — the analogue of the
+        Vivado report scrape (``converter/keras/train.py:94-122``:
+        LUT/FF/BRAM/DSP + latency) in TPU terms: FLOPs, bytes accessed,
+        peak memory."""
+        s = sampler.num_effective_samples(self.bayes, num_samples)
+        k = (tuple(sample_input.shape), s)
+        if k not in self._compiled:
+            self.compile(sample_input, s)
+        compiled = self._compiled[k]
+        cost = compiled.cost_analysis() or {}
+        mem = compiled.memory_analysis()
+        out = {"flops": cost.get("flops"),
+               "bytes_accessed": cost.get("bytes accessed")}
+        if mem is not None:
+            for attr in ("temp_size_in_bytes", "argument_size_in_bytes",
+                         "output_size_in_bytes", "generated_code_size_in_bytes"):
+                out[attr] = getattr(mem, attr, None)
+        return out
+
+    def benchmark(self, x: jax.Array, iters: int = 20,
+                  num_samples: int | None = None) -> dict:
+        """Wall-clock latency/throughput of the compiled predict."""
+        key = jax.random.key(0)
+        s = sampler.num_effective_samples(self.bayes, num_samples)
+        fn = self._predict_fn(s)
+        jax.block_until_ready(fn(self.variables, x, key))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(self.variables, x, key)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        b = x.shape[0]
+        return {"latency_s": dt, "samples_per_s": b * s / dt,
+                "images_per_s": b / dt, "num_samples": s}

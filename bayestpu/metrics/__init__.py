@@ -1,4 +1,5 @@
-from bayestpu.metrics import ece, entropy  # noqa: F401
+from bayestpu.metrics import ece, entropy, flops, kde  # noqa: F401
+from bayestpu.metrics.kde import ece_kde  # noqa: F401
 from bayestpu.metrics.ece import (  # noqa: F401
     accuracy,
     ece_bins,

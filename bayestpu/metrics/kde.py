@@ -62,12 +62,25 @@ def _fft_kde_triweight(data: np.ndarray, bw: float, grid: np.ndarray
     return np.maximum(dens, 0.0)
 
 
-def ece_kde(probs: np.ndarray, labels: np.ndarray, order: int = 1) -> float:
+def ece_kde(probs: np.ndarray, labels: np.ndarray, order: int = 1,
+            native: bool | None = None) -> float:
     """KDE ECE over top-1 confidences.
 
     probs: (N, C) predictive probabilities (will be renormalized);
     labels: (N,) int labels or (N, C) one-hot.
+    native: True → require the C++ implementation; False → pure Python;
+    None (default) → C++ when buildable, Python otherwise.
     """
+    if native is not False:
+        try:
+            from bayestpu import native as native_mod
+            if native_mod.available():
+                return native_mod.kde_ece(probs, labels, order)
+            if native:
+                raise RuntimeError("native KDE unavailable")
+        except ImportError:
+            if native:
+                raise
     probs = np.asarray(probs, np.float64)
     labels = np.asarray(labels)
     if labels.ndim == 2:

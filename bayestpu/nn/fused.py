@@ -1,0 +1,103 @@
+"""Fused Bayesian-site + Dense layer backed by the Pallas kernels.
+
+``BayesDense`` is the drop-in replacement for the (BayesSite → Dense) pair
+that every reference model places before a classifier head
+(``Hardware_Artifact/bayes_hw/models/qmodels.py:89-95``,
+``Software_Artifact/software/models/resnet18/resnet18.py:302-346``). With
+``fused=True`` the mask is generated inside the matmul kernel
+(``bayestpu.kernels.masked_matmul``) — the TPU equivalent of the hls4ml
+fork's on-fabric dropout-before-dense dataflow; with ``fused=False`` it
+composes the plain layers (used for parity tests and non-TPU backends).
+
+Semantics guarantee: fused and unfused paths share mask *distribution* and
+scaling, not bitwise masks (different PRNGs); Masksembles paths share the
+exact bank, so fused-vs-unfused is exact for the mask family where the
+reference has golden per-mask tests (``verify_accuracy.py:88-92``).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayestpu.core.config import BayesConfig, DropoutKind, QuantConfig
+from bayestpu.core.quant import fake_quant
+from bayestpu.core.rng import BAYES_RNG
+from bayestpu.kernels import mask_bank
+from bayestpu.kernels.masked_matmul import bank_matmul, dropout_matmul
+from bayestpu.nn.bayes import MASKS_COLLECTION, BayesianDropout, Masksembles
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+class BayesDense(nn.Module):
+    """(Bayesian mask → Dense) with optional Pallas fusion."""
+
+    features: int
+    bayes: BayesConfig = BayesConfig()
+    use_bias: bool = True
+    fused: bool = True
+    quant: QuantConfig | None = None
+    bank_seed: int = 0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False
+                 ) -> jax.Array:
+        in_features = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features), jnp.float32)
+        if self.quant is not None:
+            kernel = fake_quant(kernel, self.quant)
+        kind = self.bayes.kind
+
+        if kind is DropoutKind.MASK:
+            def init_bank() -> jax.Array:
+                _, bank = mask_bank.generation_wrapper(
+                    in_features, self.bayes.num_masks, self.bayes.scale,
+                    rng=np.random.default_rng(self.bank_seed))
+                return jnp.asarray(bank)
+
+            bank = self.variable(MASKS_COLLECTION, "bank", init_bank).value
+            if train:
+                # batch-split semantics — train path stays unfused (groups
+                # under different masks in one batch; ref Masksembles.py:177)
+                b = x.shape[0]
+                if b % self.bayes.num_masks != 0:
+                    raise ValueError(
+                        f"batch size {b} not divisible by num_masks "
+                        f"{self.bayes.num_masks}")
+                g = b // self.bayes.num_masks
+                gx = x.reshape((self.bayes.num_masks, g, in_features))
+                y = (gx * bank[:, None, :]).reshape(x.shape) @ kernel
+            elif self.fused:
+                y = bank_matmul(x, kernel, bank, sample_idx,
+                                interpret=_use_interpret())
+            else:
+                row = jnp.take(bank,
+                               jnp.asarray(sample_idx) % self.bayes.num_masks,
+                               axis=0)
+                y = (x * row) @ kernel
+        elif kind is DropoutKind.MC and self.bayes.rate > 0.0:
+            if self.fused:
+                key = self.make_rng(BAYES_RNG)
+                seeds = jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
+                y = dropout_matmul(x, kernel, seeds, self.bayes.rate,
+                                   interpret=_use_interpret())
+            else:
+                xm = BayesianDropout(rate=self.bayes.rate, name="drop")(
+                    x, sample_idx=sample_idx, train=train)
+                y = jnp.dot(xm, kernel, preferred_element_type=jnp.float32)
+        else:
+            y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
+
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            if self.quant is not None:
+                bias = fake_quant(bias, self.quant)
+            y = y + bias
+        return y

@@ -6,6 +6,7 @@ Registry keys follow the reference CLI names (``--model lenet`` etc. in
 ``Hardware_Artifact/bayes_hw/train_qkeras.py:105-128`` and ``--backbone`` in
 ``Software_Artifact/software/main.py``)."""
 
+from bayestpu.nn.zoo import autobayes  # noqa: F401
 from bayestpu.nn.zoo.lenet import LeNet, LeNetME  # noqa: F401
 from bayestpu.nn.zoo.resnet import ResNet18  # noqa: F401
 from bayestpu.nn.zoo.vgg import VGG  # noqa: F401

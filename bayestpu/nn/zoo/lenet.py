@@ -29,8 +29,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from bayestpu.core.config import BayesConfig, QuantConfig
+import dataclasses
+
+from bayestpu.core.config import BayesConfig, DropoutKind, QuantConfig
 from bayestpu.nn.bayes import BayesSite
+from bayestpu.nn.fused import BayesDense
 from bayestpu.nn.layers import Conv, Dense, QuantAct, max_pool
 from bayestpu.nn.multiexit import ExitOutputs, stack_exits
 from bayestpu.nn.zoo.registry import register_model
@@ -52,6 +55,7 @@ class LeNet(nn.Module):
     num_classes: int = 10
     quant: QuantConfig | None = None
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False   # Pallas fused mask+matmul for the classifier head
 
     @nn.compact
     def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False
@@ -79,11 +83,11 @@ class LeNet(nn.Module):
         x = Dense(100, quant=q, dtype=dt, name="fc_1")(x)
         x = QuantAct(quant=q, name="relu3")(x)
         feat = x
-        if _site_on(2, nb):
-            x = BayesSite(self.bayes, name="bayes_2")(
-                x, sample_idx=sample_idx, train=train)
-
-        logits = Dense(self.num_classes, quant=q, dtype=dt, name="fc_2")(x)
+        head_bayes = self.bayes if _site_on(2, nb) else dataclasses.replace(
+            self.bayes, kind=DropoutKind.NONE)
+        logits = BayesDense(self.num_classes, bayes=head_bayes,
+                            fused=self.fused, quant=q, name="fc_2")(
+            x, sample_idx=sample_idx, train=train)
         return stack_exits([logits], [feat])
 
 
@@ -100,6 +104,7 @@ class LeNetME(nn.Module):
     num_classes: int = 10
     quant: QuantConfig | None = None
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False
@@ -120,10 +125,10 @@ class LeNetME(nn.Module):
         e = Dense(100, quant=q, dtype=dt, name="fc_1_2nd_exit")(e)
         e = QuantAct(quant=q, name="relu3_2nd_exit")(e)
         feat_e = e
-        e = BayesSite(self.bayes, name="bayes_2nd_exit")(
+        exit_early = BayesDense(self.num_classes, bayes=self.bayes,
+                                fused=self.fused, quant=q,
+                                name="fc_2nd_exit")(
             e, sample_idx=sample_idx, train=train)
-        exit_early = Dense(self.num_classes, quant=q, dtype=dt,
-                           name="fc_2nd_exit")(e)
 
         # Main exit
         x = Conv(20, (5, 5), padding="SAME", quant=q, dtype=dt,
@@ -134,10 +139,10 @@ class LeNetME(nn.Module):
         x = Dense(100, quant=q, dtype=dt, name="fc_1")(x)
         x = QuantAct(quant=q, name="relu3")(x)
         feat_m = x
-        x = BayesSite(self.bayes, name="bayes_1st_exit")(
+        exit_main = BayesDense(self.num_classes, bayes=self.bayes,
+                               fused=self.fused, quant=q,
+                               name="fc_exit_1st")(
             x, sample_idx=sample_idx, train=train)
-        exit_main = Dense(self.num_classes, quant=q, dtype=dt,
-                          name="fc_exit_1st")(x)
 
         return stack_exits([exit_early, exit_main], [feat_e, feat_m])
 

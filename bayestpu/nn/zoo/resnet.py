@@ -27,8 +27,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from bayestpu.core.config import BayesConfig, QuantConfig
+import dataclasses
+
+from bayestpu.core.config import BayesConfig, DropoutKind, QuantConfig
 from bayestpu.nn.bayes import BayesSite
+from bayestpu.nn.fused import BayesDense
 from bayestpu.nn.layers import ConvBN, Dense, avg_pool
 from bayestpu.nn.multiexit import ExitOutputs, stack_exits
 from bayestpu.nn.zoo.registry import register_model
@@ -66,6 +69,7 @@ class _ExitHead(nn.Module):
     bayes: BayesConfig | None   # site before linear when dropout_exit
     quant: QuantConfig | None = None
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False
@@ -78,12 +82,13 @@ class _ExitHead(nn.Module):
                 y = nn.relu(y)
         y = avg_pool(nn.relu(y), min(4, y.shape[1]))
         feat = y.reshape((y.shape[0], -1))
-        y = feat
-        if self.bayes is not None:
-            y = BayesSite(self.bayes, name="exit_bayes")(
-                y, sample_idx=sample_idx, train=train)
-        return Dense(self.num_classes, quant=self.quant, dtype=self.dtype,
-                     name="linear")(y), feat
+        head_bayes = self.bayes if self.bayes is not None else BayesConfig(
+            kind=DropoutKind.NONE)
+        logit = BayesDense(self.num_classes, bayes=head_bayes,
+                           fused=self.fused, quant=self.quant,
+                           name="linear")(
+            feat, sample_idx=sample_idx, train=train)
+        return logit, feat
 
 
 class ResNet18(nn.Module):
@@ -98,6 +103,7 @@ class ResNet18(nn.Module):
     stage_planes: Sequence[int] = (64, 128, 256, 512)
     quant: QuantConfig | None = None
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False
@@ -130,16 +136,18 @@ class ResNet18(nn.Module):
                 logit, feat = _ExitHead(
                     chans, self.num_classes,
                     self.bayes if self.dropout_exit else None,
-                    quant=q, dtype=dt, name=f"exit{s + 1}")(out, **site_kw)
+                    quant=q, dtype=dt, fused=self.fused,
+                    name=f"exit{s + 1}")(out, **site_kw)
                 exits.append(logit)
                 feats.append(feat)
 
         out = avg_pool(nn.relu(out), min(4, out.shape[1]))
         feat = out.reshape((out.shape[0], -1))
-        out = feat
-        if self.dropout_exit:
-            out = BayesSite(self.bayes, name="bayes_final")(out, **site_kw)
-        final = Dense(self.num_classes, quant=q, dtype=dt, name="linear")(out)
+        final_bayes = self.bayes if self.dropout_exit else dataclasses.replace(
+            self.bayes, kind=DropoutKind.NONE)
+        final = BayesDense(self.num_classes, bayes=final_bayes,
+                           fused=self.fused, quant=q, name="linear")(
+            feat, **site_kw)
         exits.append(final)
         feats.append(feat)
         # feature dims differ per exit only via spatial pooling; they all end

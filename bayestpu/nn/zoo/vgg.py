@@ -29,8 +29,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from bayestpu.core.config import BayesConfig, QuantConfig
+import dataclasses
+
+from bayestpu.core.config import BayesConfig, DropoutKind, QuantConfig
 from bayestpu.nn.bayes import BayesSite
+from bayestpu.nn.fused import BayesDense
 from bayestpu.nn.layers import ConvBN, Dense, QuantAct, avg_pool, max_pool
 from bayestpu.nn.multiexit import ExitOutputs, stack_exits
 from bayestpu.nn.zoo.registry import register_model
@@ -81,6 +84,7 @@ class _VGGExitHead(nn.Module):
     bayes: BayesConfig | None
     quant: QuantConfig | None = None
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False
@@ -93,12 +97,13 @@ class _VGGExitHead(nn.Module):
         if y.shape[1] > 1:
             y = avg_pool(y, 2)
         feat = y.reshape((y.shape[0], -1))
-        y = feat
-        if self.bayes is not None:
-            y = BayesSite(self.bayes, name="exit_bayes")(
-                y, sample_idx=sample_idx, train=train)
-        return Dense(self.num_classes, quant=self.quant, dtype=self.dtype,
-                     name="linear")(y), feat
+        head_bayes = self.bayes if self.bayes is not None else BayesConfig(
+            kind=DropoutKind.NONE)
+        logit = BayesDense(self.num_classes, bayes=head_bayes,
+                           fused=self.fused, quant=self.quant,
+                           name="linear")(
+            feat, sample_idx=sample_idx, train=train)
+        return logit, feat
 
 
 class VGG(nn.Module):
@@ -113,6 +118,7 @@ class VGG(nn.Module):
     head_dims: Sequence[int] = ()    # extra dense widths before classifier
     quant: QuantConfig | None = None
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False
@@ -140,7 +146,8 @@ class VGG(nn.Module):
                 logit, feat = _VGGExitHead(
                     chain, self.num_classes,
                     self.bayes if self.dropout_exit else None,
-                    quant=q, dtype=dt, name=f"exit{i + 1}")(out, **site_kw)
+                    quant=q, dtype=dt, fused=self.fused,
+                    name=f"exit{i + 1}")(out, **site_kw)
                 exits.append(logit)
                 feats.append(feat)
 
@@ -152,10 +159,11 @@ class VGG(nn.Module):
                 out = nn.BatchNorm(use_running_average=not train,
                                    name=f"fc_bn_{j}")(out)
             out = QuantAct(quant=q, name=f"fc_relu_{j}")(out)
-        if self.dropout_exit:
-            out = BayesSite(self.bayes, name="bayes_final")(out, **site_kw)
-        final = Dense(self.num_classes, quant=q, dtype=dt,
-                      name="classifier")(out)
+        final_bayes = self.bayes if self.dropout_exit else dataclasses.replace(
+            self.bayes, kind=DropoutKind.NONE)
+        final = BayesDense(self.num_classes, bayes=final_bayes,
+                           fused=self.fused, quant=q, name="classifier")(
+            out, **site_kw)
         exits.append(final)
         feats.append(feat)
         try:

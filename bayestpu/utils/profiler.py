@@ -1,0 +1,110 @@
+"""Profiling & performance reports: xprof traces, cost model, roofline.
+
+The reference's performance observability is Vivado report scraping —
+``getReports`` pulls LUT/FF/BRAM/DSP + latency/II out of synth reports
+(``Hardware_Artifact/converter/keras/train.py:94-122``) and
+``vivado_perf_report_graph.py`` parses HLS XML latency estimates
+(``scripts/fig_draw/vivado_perf_report_graph.py:12-58``). The TPU-native
+equivalents (SURVEY §5.1):
+
+- ``trace()`` — context manager writing an xprof/TensorBoard trace
+  (``jax.profiler``), the timeline analogue;
+- ``cost_report()`` — XLA cost model of a jitted fn (FLOPs, bytes, memory),
+  the resource-report analogue;
+- ``roofline()`` — measured runtime vs speed-of-light on the chip's
+  peak FLOP/s and HBM bandwidth: the "how far from silicon limits"
+  number the HLS flow gets from its II/latency reports.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Any, Callable
+
+import jax
+
+# Peak specs per TPU generation: (bf16 FLOP/s, HBM bytes/s).
+# v5e: 197 TFLOP/s bf16, 819 GB/s. v5p: 459 TFLOP/s, 2765 GB/s.
+PEAKS = {
+    "v5e": (197e12, 819e9),
+    "v5p": (459e12, 2765e9),
+    "v4": (275e12, 1228e9),
+    "cpu": (1e11, 1e10),  # nominal, for tests
+}
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/bayestpu_xprof"):
+    """Capture an xprof trace viewable in TensorBoard/XProf."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def cost_report(fn: Callable, *args: Any) -> dict:
+    """FLOPs / bytes / memory of the compiled executable."""
+    compiled = jax.jit(fn).lower(*args).compile()
+    cost = compiled.cost_analysis() or {}
+    mem = compiled.memory_analysis()
+    rep = {
+        "flops": cost.get("flops"),
+        "bytes_accessed": cost.get("bytes accessed"),
+        "transcendentals": cost.get("transcendentals"),
+    }
+    if mem is not None:
+        rep["temp_bytes"] = getattr(mem, "temp_size_in_bytes", None)
+        rep["output_bytes"] = getattr(mem, "output_size_in_bytes", None)
+        rep["argument_bytes"] = getattr(mem, "argument_size_in_bytes", None)
+    return rep
+
+
+def measure(fn: Callable, *args: Any, iters: int = 20) -> float:
+    """Median-free simple wall time per call of a jitted fn (seconds)."""
+    jfn = jax.jit(fn)
+    jax.block_until_ready(jfn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jfn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def chip_generation() -> str:
+    d = jax.devices()[0]
+    kind = getattr(d, "device_kind", "").lower()
+    for gen in ("v5p", "v5e", "v4"):
+        if gen in kind or gen in str(d).lower():
+            return gen
+    return "cpu" if d.platform == "cpu" else "v5e"
+
+
+def roofline(fn: Callable, *args: Any, iters: int = 20,
+             gen: str | None = None) -> dict:
+    """Measured vs speed-of-light: fraction of peak FLOP/s and HBM BW.
+
+    The bound resource (compute vs memory) tells which peak applies —
+    standard roofline over the XLA cost model's flop/byte counts.
+    """
+    gen = gen or chip_generation()
+    peak_flops, peak_bw = PEAKS[gen]
+    rep = cost_report(fn, *args)
+    dt = measure(fn, *args, iters=iters)
+    flops = rep.get("flops") or 0.0
+    bytes_ = rep.get("bytes_accessed") or 0.0
+    intensity = flops / bytes_ if bytes_ else float("inf")
+    ridge = peak_flops / peak_bw
+    bound = "compute" if intensity >= ridge else "memory"
+    sol = (flops / peak_flops) if bound == "compute" else (bytes_ / peak_bw)
+    return {
+        "chip": gen,
+        "seconds": dt,
+        "achieved_tflops": flops / dt / 1e12 if flops else 0.0,
+        "achieved_gbps": bytes_ / dt / 1e9 if bytes_ else 0.0,
+        "arithmetic_intensity": intensity,
+        "bound": bound,
+        "speed_of_light_s": sol,
+        "fraction_of_peak": sol / dt if dt else 0.0,
+    }

@@ -1,0 +1,83 @@
+"""BayesEngine facade: compile/predict/evaluate/compare/cost_analysis."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayestpu.core.config import BayesConfig, DropoutKind, EngineConfig, SamplingMode
+from bayestpu.engine.engine import BayesEngine
+from bayestpu.nn.zoo import get_model
+
+
+def _engine(name="lenet", **kw):
+    model = get_model(name, **kw)
+    eng = BayesEngine(model)
+    x = jnp.zeros((8, 28, 28, 1))
+    eng.init(jax.random.key(0), x)
+    return eng, x
+
+
+def test_predict_shapes_and_normalization(key):
+    eng, _ = _engine(bayes=BayesConfig(rate=0.3, num_samples=5))
+    x = jax.random.normal(key, (8, 28, 28, 1))
+    pred = eng.predict(x)
+    assert pred.probs.shape == (1, 8, 10)
+    assert pred.num_samples == 5
+    np.testing.assert_allclose(np.asarray(pred.probs.sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_masksembles_sample_count():
+    eng, x = _engine(bayes=BayesConfig(kind=DropoutKind.MASK, num_masks=4))
+    pred = eng.predict(x)
+    assert pred.num_samples == 4  # enumerates masks (hls4ml_pred.py:106-110)
+
+
+def test_compile_then_predict_uses_executable(key):
+    eng, _ = _engine(bayes=BayesConfig(rate=0.25, num_samples=4))
+    x = jax.random.normal(key, (8, 28, 28, 1))
+    stats = eng.compile(x)
+    assert stats["compile_seconds"] > 0
+    pred = eng.predict(x)
+    assert np.isfinite(np.asarray(pred.probs)).all()
+
+
+def test_evaluate_battery(key):
+    eng, _ = _engine(bayes=BayesConfig(rate=0.25, num_samples=4))
+    x = jax.random.normal(key, (8, 28, 28, 1))
+    y = jnp.zeros(8, jnp.int32)
+    mets = eng.evaluate(x, y, ood_check=True)
+    assert {"acc", "ece_hist", "ece_ew10", "nll", "aPE", "aPE_ood"} <= set(mets)
+    assert all(np.isfinite(v) for v in mets.values())
+
+
+def test_compare_golden(key):
+    eng, _ = _engine(bayes=BayesConfig(rate=0.0, num_samples=2))
+    x = jax.random.normal(key, (4, 28, 28, 1))
+    golden = eng.predict(x).probs[-1]
+    rep = eng.compare(x, golden)
+    assert rep["max_abs_diff"] < 1e-6
+    assert rep["top1_agreement"] == 1.0
+
+
+def test_cost_analysis_reports_flops(key):
+    eng, _ = _engine(bayes=BayesConfig(rate=0.25, num_samples=2))
+    x = jax.random.normal(key, (8, 28, 28, 1))
+    cost = eng.cost_analysis(x)
+    assert cost["flops"] is not None and cost["flops"] > 0
+
+
+def test_temporal_mode_engine(key):
+    model = get_model("lenet", bayes=BayesConfig(rate=0.25))
+    eng = BayesEngine(model, config=EngineConfig(mode=SamplingMode.TEMPORAL))
+    x = jax.random.normal(key, (4, 28, 28, 1))
+    eng.init(jax.random.key(0), x)
+    pred = eng.predict(x, num_samples=6)
+    assert pred.probs.shape == (1, 4, 10)
+    assert pred.num_samples == 6
+
+
+def test_benchmark_smoke(key):
+    eng, _ = _engine(bayes=BayesConfig(rate=0.25, num_samples=2))
+    x = jax.random.normal(key, (4, 28, 28, 1))
+    b = eng.benchmark(x, iters=2)
+    assert b["samples_per_s"] > 0

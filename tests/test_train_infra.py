@@ -1,0 +1,96 @@
+"""Optimizer recipes, checkpoint round-trip, augmentation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from bayestpu.core.config import BayesConfig
+from bayestpu.data.augment import random_crop_flip
+from bayestpu.nn.zoo import get_model
+from bayestpu.train.checkpoint import (
+    load_best,
+    restore_checkpoint,
+    save_best,
+    save_checkpoint,
+)
+from bayestpu.train.loop import create_state, make_train_step
+from bayestpu.train.optim import RECIPES, get_optimizer, get_recipe, get_schedule
+
+
+def test_recipes_match_reference():
+    r = RECIPES["resnet18"]
+    # hyperparameters.py:203-220
+    assert (r.optimizer, r.lr, r.momentum, r.weight_decay) == \
+        ("sgd", 0.1, 0.9, 5e-4)
+    assert r.milestones == (75, 130, 180)
+    assert RECIPES["vgg19"].scheduler == "cosine"
+    assert (r.batch_size, r.test_batch_size) == (128, 250)
+
+
+def test_multistep_schedule_decays():
+    r = get_recipe("resnet18")
+    sched = get_schedule(r, steps_per_epoch=10)
+    np.testing.assert_allclose(float(sched(0)), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(76 * 10)), 0.01, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(190 * 10)), 1e-4, rtol=1e-4)
+
+
+def test_optimizer_trains(key):
+    r = get_recipe("lenet")
+    tx = get_optimizer(r, steps_per_epoch=1)
+    model = get_model("lenet", bayes=BayesConfig(rate=0.25))
+    x = jax.random.normal(key, (8, 28, 28, 1))
+    y = jnp.arange(8) % 10
+    state = create_state(model, tx, key, x)
+    step = make_train_step(model, tx)
+    losses = []
+    for i in range(5):
+        state.params, state.extra, state.opt_state, m = step(
+            state.params, state.extra, state.opt_state, x, y,
+            jax.random.fold_in(key, i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_checkpoint_roundtrip(tmp_path, key):
+    model = get_model("lenet")
+    tx = optax.sgd(0.1)
+    x = jnp.zeros((4, 28, 28, 1))
+    state = create_state(model, tx, key, x)
+    state.step = 42
+    path = save_checkpoint(str(tmp_path / "ckpt"), state, key)
+    blank = create_state(model, tx, jax.random.key(7), x)
+    restored, rkey = restore_checkpoint(path, blank, jax.random.key(7))
+    assert restored.step == 42
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x1, x2 in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(jax.random.key_data(rkey)),
+                                  np.asarray(jax.random.key_data(key)))
+
+
+def test_best_snapshot_roundtrip(tmp_path, key):
+    model = get_model("lenet")
+    x = jnp.zeros((2, 28, 28, 1))
+    from bayestpu.core.rng import BAYES_RNG
+    vs = model.init({"params": key, BAYES_RNG: key}, x)
+    p = save_best(str(tmp_path / "best"), vs["params"])
+    loaded = load_best(p, vs["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(vs["params"]),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_augment_shapes_and_flip(key):
+    x = jax.random.uniform(key, (16, 32, 32, 3))
+    out = random_crop_flip(key, x)
+    assert out.shape == x.shape
+    assert float(out.min()) >= 0.0
+    # determinism
+    out2 = random_crop_flip(key, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    # different key → different augment
+    out3 = random_crop_flip(jax.random.key(9), x)
+    assert not np.array_equal(np.asarray(out), np.asarray(out3))
