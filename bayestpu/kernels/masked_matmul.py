@@ -107,7 +107,7 @@ def _dropout_matmul_kernel(seed_ref, x_ref, w_ref, o_ref, acc_ref, *,
 
     # Bits depend on (seeds, global element position) — independent of j so
     # the x mask is consistent across all output-column tiles.
-    bits = _tile_bits(x_ref.shape, seed_ref[0], seed_ref[1], i, k,
+    bits = _tile_bits(x_ref.shape, seed_ref[0, 0], seed_ref[0, 1], i, k,
                       block_m, block_k)
     keep = bits < jnp.uint32(_keep_threshold(rate))
     scale = 1.0 / (1.0 - rate)
@@ -124,7 +124,7 @@ def _dropout_mask_kernel(seed_ref, g_ref, o_ref, *, rate: float,
     """Apply the SAME global mask to an (M, K) tensor — used by the VJP for
     dx = (g @ wᵀ) ⊙ mask / keep, regenerated instead of saved."""
     i, k = pl.program_id(0), pl.program_id(1)
-    bits = _tile_bits(g_ref.shape, seed_ref[0], seed_ref[1], i, k,
+    bits = _tile_bits(g_ref.shape, seed_ref[0, 0], seed_ref[0, 1], i, k,
                       block_m, block_k)
     keep = bits < jnp.uint32(_keep_threshold(rate))
     o_ref[:] = jnp.where(keep, g_ref[:] * (1.0 / (1.0 - rate)), 0.0)
@@ -139,6 +139,8 @@ def _dropout_apply(x: jax.Array, seeds: jax.Array, rate: float,
     m, k_dim = x.shape
     xp = _pad_to(x, (block_m, block_k))
     mp, kp = xp.shape
+    # (1, 2) so that vmap-batched seeds keep a TPU-legal SMEM block shape
+    seeds = jnp.reshape(seeds, (1, 2)).astype(jnp.int32)
     out = pl.pallas_call(
         functools.partial(_dropout_mask_kernel, rate=rate,
                           block_m=block_m, block_k=block_k),
@@ -182,6 +184,7 @@ def _dropout_matmul_fwd(x, w, seeds, rate, block_m, block_n, block_k,
     mp, kp = xp.shape
     np_ = wp.shape[1]
     nk = kp // block_k
+    seeds = jnp.reshape(seeds, (1, 2)).astype(jnp.int32)
     y = pl.pallas_call(
         functools.partial(_dropout_matmul_kernel, rate=rate, nk=nk,
                           block_m=block_m, block_k=block_k),
@@ -236,9 +239,11 @@ def _bank_matmul_kernel(idx_ref, x_ref, w_ref, bank_ref, o_ref, acc_ref, *,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # bank_ref block is (1, block_k): row sample_idx, k-th chunk (the row is
-    # selected by the scalar-prefetch index_map below).
-    xm = x_ref[:] * bank_ref[0, :][None, :]
+    # bank_ref block is (num_masks, block_k) — the whole (small) bank's k-th
+    # chunk; the scalar-prefetched sample index selects the row in-kernel
+    # (a (1, bk) VMEM block per row is not a legal TPU tile).
+    row = bank_ref[pl.ds(idx_ref[0], 1), :]
+    xm = x_ref[:] * row
     acc_ref[:] += jnp.dot(xm, w_ref[:], preferred_element_type=jnp.float32)
 
     @pl.when(k == nk - 1)
@@ -274,7 +279,8 @@ def bank_matmul(x: jax.Array, w: jax.Array, bank: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_k, block_n), lambda i, j, k, idx: (k, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k), lambda i, j, k, idx: (idx[0], k),
+            pl.BlockSpec((bank.shape[0], block_k),
+                         lambda i, j, k, idx: (0, k),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_m, block_n),

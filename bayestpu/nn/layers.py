@@ -38,15 +38,26 @@ class Dense(nn.Module):
     use_bias: bool = True
     quant: QuantConfig | None = None
     dtype: Dtype = jnp.float32
+    # int8 inference: weights AND activations quantized to the ap_fixed grid
+    # and contracted as int8×int8→int32 on the MXU (one rescale at the end) —
+    # the TPU realization of the per-layer ap_fixed MAC arrays
+    # (hls4ml_build.py:103-110). Exactly equals the fake-quant float path.
+    int8_infer: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features),
             jnp.float32)
-        kernel = _maybe_quant(kernel, self.quant)
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
-                    preferred_element_type=jnp.float32)
+        if self.int8_infer and self.quant is not None:
+            from bayestpu.core.quant import int8_matmul, quantize_int8
+            xq, xs = quantize_int8(x, self.quant)
+            wq, ws = quantize_int8(kernel, self.quant)
+            y = int8_matmul(xq, wq, xs, ws)
+        else:
+            kernel = _maybe_quant(kernel, self.quant)
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                        preferred_element_type=jnp.float32)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,),
                               jnp.float32)
@@ -62,6 +73,7 @@ class Conv(nn.Module):
     use_bias: bool = True
     quant: QuantConfig | None = None
     dtype: Dtype = jnp.float32
+    int8_infer: bool = False   # see Dense.int8_infer
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -69,12 +81,23 @@ class Conv(nn.Module):
         kshape = tuple(self.kernel_size) + (in_ch, self.features)
         kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape,
                             jnp.float32)
-        kernel = _maybe_quant(kernel, self.quant)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=tuple(self.strides), padding=self.padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+        if self.int8_infer and self.quant is not None:
+            from bayestpu.core.quant import quantize_int8
+            xq, xs = quantize_int8(x, self.quant)
+            wq, ws = quantize_int8(kernel, self.quant)
+            acc = jax.lax.conv_general_dilated(
+                xq, wq, window_strides=tuple(self.strides),
+                padding=self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * (xs * ws)
+        else:
+            kernel = _maybe_quant(kernel, self.quant)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=tuple(self.strides), padding=self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,),
                               jnp.float32)

