@@ -40,6 +40,8 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--quant_tbit", type=int, default=0,
                    help="0 = float; 8 = the paper operating point")
     p.add_argument("--quant_ibit", type=int, default=0)
+    p.add_argument("--int8", action="store_true",
+                   help="run contractions on the MXU int8 path")
     p.add_argument("--opt_mode", default="spatial",
                    choices=["spatial", "temporal", "sharded"],
                    help="MC mapping (≙ S_*/T_* models)")
@@ -59,7 +61,8 @@ def bayes_from_args(a: argparse.Namespace) -> BayesConfig:
 def quant_from_args(a: argparse.Namespace) -> QuantConfig | None:
     if a.quant_tbit <= 0:
         return None
-    return QuantConfig(total_bits=a.quant_tbit, integer_bits=a.quant_ibit)
+    return QuantConfig(total_bits=a.quant_tbit, integer_bits=a.quant_ibit,
+                       int8_infer=getattr(a, "int8", False))
 
 
 def engine_from_args(a: argparse.Namespace) -> EngineConfig:

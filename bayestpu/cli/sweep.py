@@ -1,0 +1,93 @@
+"""Sweeps: cost vs number of Bayesian layers / masks / scale.
+
+≙ the autobayes sweeps — ``diff_dropouts.py`` (n = 1..8 inserted MCD layers),
+``diff_masksembles.py`` (n Masksembles layers), ``diff_scale.py`` (scale
+sweep) — which built one HLS project per point and scraped latency/LUT
+reports. Here each point compiles the MC-predictive executable and records
+the TPU analogues: compile time, measured latency, XLA cost-model FLOPs /
+bytes, and executable size (≙ LUT/FF). Results go to ``<out>/<sweep>.json``
+and can be plotted with ``bayestpu.cli.figures``.
+
+    python -m bayestpu.cli.sweep dropouts --max_n 8
+    python -m bayestpu.cli.sweep masks    --max_n 8
+    python -m bayestpu.cli.sweep scale    --values 1.5 2 3 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from bayestpu.core.config import BayesConfig, DropoutKind, InsertStrategy
+from bayestpu.engine.engine import BayesEngine
+from bayestpu.nn.convert import Sequential, convert_to_bayesian, lenet_specs
+
+
+def _point(bayes: BayesConfig, batch: int = 32, iters: int = 10) -> dict:
+    specs = tuple(convert_to_bayesian(lenet_specs(), bayes))
+    model = Sequential(specs=specs)
+    x = jnp.zeros((batch, 28, 28, 1))
+    eng = BayesEngine(model, bayes).init(jax.random.key(0), x)
+    t0 = time.perf_counter()
+    eng.compile(x)
+    compile_s = time.perf_counter() - t0
+    bench = eng.benchmark(x, iters=iters)
+    cost = eng.cost_analysis(x)
+    return {
+        "compile_s": compile_s,
+        "latency_ms": bench["latency_s"] * 1e3,
+        "samples_per_s": bench["samples_per_s"],
+        "flops": cost.get("flops"),
+        "bytes_accessed": cost.get("bytes_accessed"),
+        "code_bytes": cost.get("generated_code_size_in_bytes"),
+    }
+
+
+def main(argv=None) -> dict:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("sweep", choices=["dropouts", "masks", "scale"])
+    p.add_argument("--max_n", type=int, default=4)
+    p.add_argument("--values", type=float, nargs="*", default=None)
+    p.add_argument("--mc_samples", type=int, default=4)
+    p.add_argument("--out", default="sweeps")
+    a = p.parse_args(argv)
+
+    rows = []
+    if a.sweep == "dropouts":
+        # diff_dropouts.py: n=1..max inserted MCD layers, strategy counts
+        # from the back (ap_fixed<8,8> there; float here — quant sweeps are
+        # a separate axis)
+        for n in range(1, a.max_n + 1):
+            cfg = BayesConfig(kind=DropoutKind.MC, rate=0.25,
+                              num_bayes_layers=n, num_samples=a.mc_samples,
+                              strategy=InsertStrategy.FULL if n > 4
+                              else InsertStrategy.DEFAULT)
+            rows.append({"n_bayes_layers": n, **_point(cfg)})
+    elif a.sweep == "masks":
+        for n in range(2, a.max_n + 1):
+            cfg = BayesConfig(kind=DropoutKind.MASK, num_masks=n, scale=2.0,
+                              num_bayes_layers=1)
+            rows.append({"num_masks": n, **_point(cfg)})
+    else:  # scale
+        values = a.values or [1.5, 2.0, 3.0, 4.0]
+        for s in values:
+            cfg = BayesConfig(kind=DropoutKind.MASK, num_masks=4, scale=s,
+                              num_bayes_layers=1)
+            rows.append({"scale": s, **_point(cfg)})
+
+    os.makedirs(a.out, exist_ok=True)
+    path = os.path.join(a.out, f"{a.sweep}.json")
+    out = {"sweep": a.sweep, "device": str(jax.devices()[0]), "rows": rows}
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

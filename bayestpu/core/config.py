@@ -80,6 +80,9 @@ class QuantConfig:
     # AP_RND (round-half-up) vs round-to-nearest-even; AP_SAT saturation is
     # always applied.
     round_mode: str = "AP_RND"
+    # Execute contractions as int8×int8→int32 on the MXU (requires
+    # total_bits == 8). Numerically identical to the fake-quant float path.
+    int8_infer: bool = False
 
     def __post_init__(self) -> None:
         if self.total_bits < 2 or self.total_bits > 32:

@@ -42,6 +42,10 @@ _SHAPES = {
     "cifar10": ((32, 32, 3), 10),
     "cifar100": ((32, 32, 3), 100),
     "svhn": ((32, 32, 3), 10),
+    # hls4ml LHC jet tagging: 16 HL features, 5 classes (ref
+    # ``converter/keras/train.py`` jet_tagging_data via openml; offline here
+    # → synthetic-only with matching shapes)
+    "jet": ((16,), 5),
 }
 
 DEFAULT_DATA_DIR = os.environ.get(
@@ -198,14 +202,14 @@ def get_dataset(name: str, data_dir: str | None = None,
     loader = {"mnist": _load_mnist,
               "cifar10": lambda d: _load_cifar(d, "cifar10"),
               "cifar100": lambda d: _load_cifar(d, "cifar100"),
-              "svhn": _load_svhn}[name]
-    ds = loader(data_dir) if os.path.isdir(data_dir) else None
+              "svhn": _load_svhn}.get(name)
+    ds = loader(data_dir) if (loader and os.path.isdir(data_dir)) else None
     if ds is None:
         if not allow_synthetic:
             raise FileNotFoundError(
                 f"{name} raw files not found under {data_dir}")
         ds = _synthetic(name, n_synth_train, n_synth_test)
-    if normalize:
+    if normalize and name in DATASET_STATS:
         mean, std = DATASET_STATS[name]
         mean = np.asarray(mean, np.float32)
         std = np.asarray(std, np.float32)

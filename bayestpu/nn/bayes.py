@@ -64,6 +64,30 @@ class BayesianDropout(nn.Module):
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
+class BayesianDropout2D(nn.Module):
+    """Always-on channel dropout: zeroes WHOLE channels per example.
+
+    ≙ the torch converter's ``BayesianDropout2D`` built on ``F.dropout2d``
+    (``Hardware_Artifact/converter/pytorch/Dropouts.py:5-55``) and the
+    ``MCDropout`` wrapping of conv blocks in the SW models. Input NHWC; the
+    mask has shape (B, 1, 1, C) and broadcasts over space.
+    """
+
+    rate: float = 0.25
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, sample_idx=None, train: bool = False
+                 ) -> jax.Array:
+        del sample_idx, train
+        if self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        key = self.make_rng(BAYES_RNG)
+        mask = jax.random.bernoulli(
+            key, keep, (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],))
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
 class Masksembles(nn.Module):
     """Fixed-mask-bank site over the channel axis (1D or 2D inputs).
 

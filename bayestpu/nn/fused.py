@@ -26,12 +26,47 @@ from bayestpu.core.config import BayesConfig, DropoutKind, QuantConfig
 from bayestpu.core.quant import fake_quant
 from bayestpu.core.rng import BAYES_RNG
 from bayestpu.kernels import mask_bank
-from bayestpu.kernels.masked_matmul import bank_matmul, dropout_matmul
+from bayestpu.kernels.masked_matmul import (
+    _dropout_apply,
+    bank_matmul,
+    dropout_matmul,
+)
 from bayestpu.nn.bayes import MASKS_COLLECTION, BayesianDropout, Masksembles
 
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+class BayesConvInput(nn.Module):
+    """Fused dropout mask for a conv input (NHWC).
+
+    The mask is generated inside one Pallas elementwise kernel and applied in
+    the same pass — no Bernoulli mask tensor ever exists in HBM, and the
+    masked activation is written exactly once before the (XLA) convolution
+    consumes it. This is the conv-side counterpart of ``BayesDense``'s fully
+    fused matmul for the sites the reference inserts before conv layers
+    (strategy ``full``, ``nn2bnn.py:60-72``; lenet sites,
+    ``qmodels.py:71-76``).
+    """
+
+    rate: float = 0.25
+    fused: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, sample_idx=None, train: bool = False
+                 ) -> jax.Array:
+        if self.rate == 0.0:
+            return x
+        if not self.fused:
+            return BayesianDropout(rate=self.rate, name="drop")(
+                x, sample_idx=sample_idx, train=train)
+        key = self.make_rng(BAYES_RNG)
+        seeds = jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
+        flat = x.reshape((-1, x.shape[-1]))
+        y = _dropout_apply(flat, seeds, self.rate, 256, 128,
+                           interpret=_use_interpret())
+        return y.reshape(x.shape).astype(x.dtype)
 
 
 class BayesDense(nn.Module):

@@ -49,7 +49,8 @@ class Dense(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features),
             jnp.float32)
-        if self.int8_infer and self.quant is not None:
+        if self.quant is not None and (self.int8_infer
+                                       or self.quant.int8_infer):
             from bayestpu.core.quant import int8_matmul, quantize_int8
             xq, xs = quantize_int8(x, self.quant)
             wq, ws = quantize_int8(kernel, self.quant)
@@ -81,7 +82,8 @@ class Conv(nn.Module):
         kshape = tuple(self.kernel_size) + (in_ch, self.features)
         kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape,
                             jnp.float32)
-        if self.int8_infer and self.quant is not None:
+        if self.quant is not None and (self.int8_infer
+                                       or self.quant.int8_infer):
             from bayestpu.core.quant import quantize_int8
             xq, xs = quantize_int8(x, self.quant)
             wq, ws = quantize_int8(kernel, self.quant)

@@ -60,6 +60,35 @@ class BasicBlock(nn.Module):
         return nn.relu(y + residual)
 
 
+class Bottleneck(nn.Module):
+    """1×1 → 3×3 → 1×1 bottleneck (expansion 4) — the reference keeps a
+    Bottleneck twin of BasicBlock (``resnet18.py:48-85``) and the autobayes
+    zoo builds ResNet50 from it (``autobayes/models/ResNet.py:100-127``)."""
+
+    planes: int
+    stride: int = 1
+    expansion: int = 4
+    quant: QuantConfig | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        out_ch = self.planes * self.expansion
+        residual = x
+        y = nn.relu(ConvBN(self.planes, (1, 1), quant=self.quant,
+                           dtype=self.dtype, name="convbn1")(x, train=train))
+        y = nn.relu(ConvBN(self.planes, (3, 3),
+                           (self.stride, self.stride), quant=self.quant,
+                           dtype=self.dtype, name="convbn2")(y, train=train))
+        y = ConvBN(out_ch, (1, 1), quant=self.quant, dtype=self.dtype,
+                   name="convbn3")(y, train=train)
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            residual = ConvBN(out_ch, (1, 1), (self.stride, self.stride),
+                              quant=self.quant, dtype=self.dtype,
+                              name="downsample")(x, train=train)
+        return nn.relu(y + residual)
+
+
 class _ExitHead(nn.Module):
     """Stride-2 conv cascade to 512ch + avgpool + (site) + linear
     (``resnet18.py:102-118``)."""
@@ -101,6 +130,7 @@ class ResNet18(nn.Module):
     dropout: str | None = None       # None | "block" | "layer"
     stage_blocks: Sequence[int] = (2, 2, 2, 2)
     stage_planes: Sequence[int] = (64, 128, 256, 512)
+    block: str = "basic"             # "basic" | "bottleneck"
     quant: QuantConfig | None = None
     dtype: jnp.dtype = jnp.float32
     fused: bool = False
@@ -118,10 +148,11 @@ class ResNet18(nn.Module):
         exits: list[jax.Array] = []
         feats: list[jax.Array] = []
         for s in range(n_stages):
+            block_cls = BasicBlock if self.block == "basic" else Bottleneck
             for b in range(self.stage_blocks[s]):
                 stride = 2 if (s > 0 and b == 0) else 1
-                out = BasicBlock(self.stage_planes[s], stride, quant=q,
-                                 dtype=dt, name=f"layer{s + 1}_{b}")(
+                out = block_cls(self.stage_planes[s], stride, quant=q,
+                                dtype=dt, name=f"layer{s + 1}_{b}")(
                     out, train=train)
                 is_very_last = (s == n_stages - 1 and
                                 b == self.stage_blocks[s] - 1)
@@ -168,6 +199,16 @@ def build_resnet18(**kw) -> ResNet18:
 @register_model("resnet18_me")
 def build_resnet18_me(**kw) -> ResNet18:
     kw.setdefault("n_exits", 4)
+    return ResNet18(**kw)
+
+
+@register_model("resnet50")
+def build_resnet50(**kw) -> ResNet18:
+    """ResNet-50 (Bottleneck [3,4,6,3]; ≙ ``autobayes/models/ResNet.py:107``)."""
+    kw.setdefault("block", "bottleneck")
+    kw.setdefault("stage_blocks", (3, 4, 6, 3))
+    kw.setdefault("n_exits", 1)
+    kw.setdefault("dropout_exit", True)
     return ResNet18(**kw)
 
 
