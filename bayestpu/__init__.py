@@ -20,6 +20,25 @@ Masksembles combined with multi-exit architectures), built for TPU:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: every CLI stage (train → predict →
+# analyze) is its own process; without this each one re-pays ~60 s per jit
+# compile of the same executables. ≙ the reference's on-disk hls4ml project
+# dirs (generated C++ reused across runs). Opt out: BAYESTPU_NO_XLA_CACHE=1.
+if (_jax.config.jax_compilation_cache_dir is None
+        and not _os.environ.get("BAYESTPU_NO_XLA_CACHE")):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                        _os.path.expanduser("~/.cache/bayestpu_xla")))
+    # Threshold 0: on a tunneled TPU even sub-second eager-op compiles cost
+    # an RPC each; caching them all is what makes re-running a CLI fast.
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 from bayestpu.core import rng, quant  # noqa: F401
 from bayestpu.core.config import (  # noqa: F401
     BayesConfig,

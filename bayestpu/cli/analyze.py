@@ -38,8 +38,8 @@ def main(argv=None) -> dict:
     key = jax.random.key(a.seed)
     ds = get_dataset(a.dataset, a.data_dir)
     model = common.build_model(a)
-    template = model.init({"params": key, BAYES_RNG: key},
-                          jnp.asarray(ds.x_test[:8]))
+    template = jax.jit(lambda k, x: model.init(
+        {"params": k, BAYES_RNG: k}, x))(key, jnp.asarray(ds.x_test[:8]))
     variables = restore_variables(a.load_model, template)
 
     fa = FullAnalysis(model, variables,

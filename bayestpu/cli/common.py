@@ -24,7 +24,8 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--model", default="lenet",
                    help="zoo name (lenet, lenet_me, resnet18_me, vgg11, ...)")
     p.add_argument("--dataset", default="mnist",
-                   choices=["mnist", "cifar10", "cifar100", "svhn"])
+                   choices=["mnist", "cifar10", "cifar100", "svhn", "jet",
+                            "imagenet", "chestx"])
     p.add_argument("--data_dir", default=None)
     # ≙ --dropout_type {mc,mask} (train_qkeras_mcme.py:207)
     p.add_argument("--dropout_type", default="mc",

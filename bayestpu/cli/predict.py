@@ -30,14 +30,19 @@ def main(argv=None) -> dict:
                    help="checkpoint dir from bayestpu.cli.train")
     p.add_argument("--eval_images", type=int, default=200,
                    help="≙ hls4ml_pred.py --eval_imgs default 200")
+    p.add_argument("--passes", type=int, default=1,
+                   help=">1 repeats the evaluation with fresh keys and "
+                        "reports mean±std (≙ evaluate.py:12-18)")
+    p.add_argument("--log", default=None,
+                   help="write a log_<id>.txt-style metric dump here")
     a = p.parse_args(argv)
 
     key = jax.random.key(a.seed)
     ds = get_dataset(a.dataset, a.data_dir)
     model = common.build_model(a)
 
-    template = model.init({"params": key, BAYES_RNG: key},
-                          jnp.asarray(ds.x_test[:8]))
+    template = jax.jit(lambda k, x: model.init(
+        {"params": k, BAYES_RNG: k}, x))(key, jnp.asarray(ds.x_test[:8]))
     variables = restore_variables(a.load_model, template)
 
     x = jnp.asarray(ds.x_test[:a.eval_images])
@@ -48,7 +53,12 @@ def main(argv=None) -> dict:
     for mode in (SamplingMode.TEMPORAL, SamplingMode.SPATIAL):
         eng = BayesEngine(model, bayes, EngineConfig(mode=mode)).attach(
             variables)
-        out[mode.value] = eng.evaluate(x, y, ood_check=True)
+        if a.passes > 1:
+            out[mode.value] = eng.evaluate_repeated(
+                x, y, passes=a.passes, key=key,
+                log_path=(f"{a.log}.{mode.value}" if a.log else None))
+        else:
+            out[mode.value] = eng.evaluate(x, y, ood_check=True)
     print(json.dumps(out, indent=2))
     return out
 

@@ -11,6 +11,11 @@ and can be plotted with ``bayestpu.cli.figures``.
     python -m bayestpu.cli.sweep dropouts --max_n 8
     python -m bayestpu.cli.sweep masks    --max_n 8
     python -m bayestpu.cli.sweep scale    --values 1.5 2 3 4
+    python -m bayestpu.cli.sweep samples  --model lenet --values 2 3 5 7 9
+
+The ``samples`` sweep is the latency/resource experiment matrix of
+``bayes_hw/scripts/lat_resource_eval/*`` (mc_samples ∈ {2,3,5,7,9} ×
+spatial/temporal mapping × any zoo model).
 """
 
 from __future__ import annotations
@@ -23,16 +28,31 @@ import time
 import jax
 import jax.numpy as jnp
 
-from bayestpu.core.config import BayesConfig, DropoutKind, InsertStrategy
+from bayestpu.core.config import (
+    BayesConfig,
+    DropoutKind,
+    EngineConfig,
+    InsertStrategy,
+    SamplingMode,
+)
 from bayestpu.engine.engine import BayesEngine
 from bayestpu.nn.convert import Sequential, convert_to_bayesian, lenet_specs
 
 
-def _point(bayes: BayesConfig, batch: int = 32, iters: int = 10) -> dict:
-    specs = tuple(convert_to_bayesian(lenet_specs(), bayes))
-    model = Sequential(specs=specs)
-    x = jnp.zeros((batch, 28, 28, 1))
-    eng = BayesEngine(model, bayes).init(jax.random.key(0), x)
+_INPUTS = {"lenet": (28, 28, 1), "lenet_me": (28, 28, 1)}
+
+
+def _model_point(name: str, bayes: BayesConfig, mode: SamplingMode,
+                 batch: int, iters: int) -> dict:
+    from bayestpu.nn.zoo import get_model
+    model = get_model(name, bayes=bayes)
+    x = jnp.zeros((batch,) + _INPUTS.get(name, (32, 32, 3)))
+    eng = BayesEngine(model, bayes, EngineConfig(mode=mode)).init(
+        jax.random.key(0), x)
+    return _measure(eng, x, iters)
+
+
+def _measure(eng: BayesEngine, x: jax.Array, iters: int) -> dict:
     t0 = time.perf_counter()
     eng.compile(x)
     compile_s = time.perf_counter() - t0
@@ -48,12 +68,23 @@ def _point(bayes: BayesConfig, batch: int = 32, iters: int = 10) -> dict:
     }
 
 
+def _point(bayes: BayesConfig, batch: int = 32, iters: int = 10) -> dict:
+    specs = tuple(convert_to_bayesian(lenet_specs(), bayes))
+    model = Sequential(specs=specs)
+    x = jnp.zeros((batch, 28, 28, 1))
+    eng = BayesEngine(model, bayes).init(jax.random.key(0), x)
+    return _measure(eng, x, iters)
+
+
 def main(argv=None) -> dict:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("sweep", choices=["dropouts", "masks", "scale"])
+    p.add_argument("sweep", choices=["dropouts", "masks", "scale", "samples"])
     p.add_argument("--max_n", type=int, default=4)
     p.add_argument("--values", type=float, nargs="*", default=None)
     p.add_argument("--mc_samples", type=int, default=4)
+    p.add_argument("--model", default="lenet",
+                   help="zoo model for the `samples` sweep")
+    p.add_argument("--batch", type=int, default=32)
     p.add_argument("--out", default="sweeps")
     a = p.parse_args(argv)
 
@@ -73,12 +104,20 @@ def main(argv=None) -> dict:
             cfg = BayesConfig(kind=DropoutKind.MASK, num_masks=n, scale=2.0,
                               num_bayes_layers=1)
             rows.append({"num_masks": n, **_point(cfg)})
-    else:  # scale
+    elif a.sweep == "scale":
         values = a.values or [1.5, 2.0, 3.0, 4.0]
         for s in values:
             cfg = BayesConfig(kind=DropoutKind.MASK, num_masks=4, scale=s,
                               num_bayes_layers=1)
             rows.append({"scale": s, **_point(cfg)})
+    else:  # samples — lat_resource_eval matrix (mc × mapping × model)
+        values = [int(v) for v in (a.values or [2, 3, 5, 7, 9])]
+        for s in values:
+            cfg = BayesConfig(kind=DropoutKind.MC, rate=0.25, num_samples=s)
+            for mode in (SamplingMode.SPATIAL, SamplingMode.TEMPORAL):
+                rows.append({"mc_samples": s, "mode": mode.value,
+                             **_model_point(a.model, cfg, mode, a.batch,
+                                            iters=10)})
 
     os.makedirs(a.out, exist_ok=True)
     path = os.path.join(a.out, f"{a.sweep}.json")

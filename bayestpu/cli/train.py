@@ -35,7 +35,15 @@ def main(argv=None) -> dict:
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--loss_output", default="MSE", choices=["MSE", "KL"])
     p.add_argument("--no_eed", action="store_true")
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient accumulation (train_base.py:28-34)")
+    p.add_argument("--val_mode", default="acc", choices=["acc", "eed", "ce"],
+                   help="early-stop metric (train_utils.py:40-65)")
     p.add_argument("--augment", action="store_true")
+    p.add_argument("--pipeline", default="device", choices=["device", "host"],
+                   help="augment on-device (jit-fused random_crop_flip) or "
+                        "host-native (C++ fused gather+crop+flip, "
+                        "bayestpu/native/data_pipeline.cc)")
     p.add_argument("--val_fraction", type=float, default=0.1)
     p.add_argument("--out", default="snapshots/run")
     a = p.parse_args(argv)
@@ -44,7 +52,9 @@ def main(argv=None) -> dict:
     ds = get_dataset(a.dataset, a.data_dir)
     overrides = {k: v for k, v in
                  {"epochs": a.epochs, "batch_size": a.batch_size,
-                  "lr": a.lr}.items() if v is not None}
+                  "lr": a.lr,
+                  "accum_steps": a.accum_steps if a.accum_steps > 1 else None,
+                  }.items() if v is not None}
     recipe = get_recipe(a.model.split("_")[0], **overrides)
     ds, x_val, y_val = train_val_split(ds, a.val_fraction, a.seed)
     steps = max(len(ds.x_train) // recipe.batch_size, 1)
@@ -55,16 +65,26 @@ def main(argv=None) -> dict:
         model, tx, key,
         jnp.asarray(ds.x_train[:recipe.batch_size]))
 
-    aug_key = jax.random.fold_in(key, 777)
+    if a.pipeline == "host":
+        from bayestpu.data.pipeline import BatchPipeline
+        pipe = BatchPipeline(ds.x_train, ds.y_train, recipe.batch_size,
+                             pad=4 if a.augment else 0, train=True,
+                             seed=a.seed)
+        augment_fn = None  # host pipeline already augments
 
-    def train_batches():
-        for i, (x, y) in enumerate(iterate_batches(
-                ds.x_train, ds.y_train, recipe.batch_size,
-                seed=a.seed + state.step)):
-            if a.augment:
-                x = random_crop_flip(jax.random.fold_in(aug_key, i),
-                                     jnp.asarray(x))
-            yield x, y
+        def train_batches():
+            return iter(pipe)
+    else:
+        # device path: raw numpy batches; augmentation runs INSIDE the
+        # epoch scan (train_loop augment_fn) so the whole epoch is one
+        # dispatch
+        augment_fn = ((lambda k, x, i: random_crop_flip(k, x, 4, i))
+                      if a.augment else None)
+
+        def train_batches():
+            return iterate_batches(ds.x_train, ds.y_train,
+                                   recipe.batch_size,
+                                   seed=a.seed + state.step)
 
     def val_batches():
         return iterate_batches(x_val, y_val, recipe.test_batch_size,
@@ -75,7 +95,8 @@ def main(argv=None) -> dict:
         model, state, tx, train_batches, key, recipe.epochs,
         val_batches=val_batches,
         eed_cfg=EEDConfig(use_eed=not a.no_eed, loss_output=a.loss_output),
-        patience=recipe.patience, has_batch_stats=has_bn)
+        patience=recipe.patience, has_batch_stats=has_bn,
+        val_mode=a.val_mode, augment_fn=augment_fn)
 
     ckpt = save_checkpoint(a.out, state, key)
     eng = BayesEngine(model, common.bayes_from_args(a),

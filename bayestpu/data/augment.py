@@ -19,12 +19,16 @@ import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
-def random_crop_flip(key: jax.Array, x: jax.Array, pad: int = 4) -> jax.Array:
+def random_crop_flip(key: jax.Array, x: jax.Array, pad: int = 4,
+                     index: jax.Array | int = 0) -> jax.Array:
     """Pad-reflect by ``pad``, random-crop back to size, random h-flip.
 
-    x: (B, H, W, C) float; one independent crop/flip per image.
+    x: (B, H, W, C) float; one independent crop/flip per image. ``index``
+    (e.g. the batch counter) is folded into ``key`` inside the jit so
+    callers never pay an eager ``fold_in`` dispatch per batch.
     """
     b, h, w, _ = x.shape
+    key = jax.random.fold_in(key, index)
     kc, kf = jax.random.split(key)
     xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
     offs = jax.random.randint(kc, (b, 2), 0, 2 * pad + 1)

@@ -35,6 +35,8 @@ DATASET_STATS = {
     "cifar10": ((0.4914, 0.4822, 0.4465), (0.2470, 0.2435, 0.2616)),
     "cifar100": ((0.5071, 0.4865, 0.4409), (0.2673, 0.2564, 0.2762)),
     "svhn": ((0.4377, 0.4438, 0.4728), (0.1980, 0.2010, 0.1970)),
+    "imagenet": ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
+    "chestx": ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
 }
 
 _SHAPES = {
@@ -46,6 +48,11 @@ _SHAPES = {
     # ``converter/keras/train.py`` jet_tagging_data via openml; offline here
     # → synthetic-only with matching shapes)
     "jet": ((16,), 5),
+    # 224×224 stubs, matching the reference's imagenet/chestxray entries
+    # (``dataset_loader.py:49-76`` — also stubs there: image_size 224 with
+    # normalize stats, no wired loader). Synthetic-only.
+    "imagenet": ((224, 224, 3), 1000),
+    "chestx": ((224, 224, 3), 2),
 }
 
 DEFAULT_DATA_DIR = os.environ.get(
@@ -172,7 +179,18 @@ def _synthetic(name: str, n_train: int, n_test: int, seed: int = 0) -> Dataset:
     small CNNs, so train/eval pipelines exercise real dynamics offline."""
     shape, n_classes = _SHAPES[name]
     rng = np.random.default_rng(seed)
-    protos = rng.uniform(0.2, 0.8, size=(n_classes,) + shape).astype(np.float32)
+    if len(shape) == 3 and shape[0] > 64:
+        # large-image stubs (imagenet/chestx @224): coarse 8×8 prototypes
+        # upsampled, so the proto bank stays small
+        rep = shape[0] // 8
+        coarse = rng.uniform(0.2, 0.8, size=(n_classes, 8, 8, shape[2]))
+        protos = np.repeat(np.repeat(coarse, rep, axis=1), rep,
+                           axis=2).astype(np.float32)
+        if protos.shape[1] != shape[0]:  # non-multiple-of-8 sizes
+            protos = protos[:, :shape[0], :shape[1], :]
+    else:
+        protos = rng.uniform(
+            0.2, 0.8, size=(n_classes,) + shape).astype(np.float32)
 
     def make(n: int):
         y = rng.integers(0, n_classes, size=n).astype(np.int32)
@@ -208,6 +226,10 @@ def get_dataset(name: str, data_dir: str | None = None,
         if not allow_synthetic:
             raise FileNotFoundError(
                 f"{name} raw files not found under {data_dir}")
+        shape = _SHAPES[name][0]
+        if len(shape) == 3 and shape[0] > 64:  # cap 224px synth memory
+            n_synth_train = min(n_synth_train, 512)
+            n_synth_test = min(n_synth_test, 128)
         ds = _synthetic(name, n_synth_train, n_synth_test)
     if normalize and name in DATASET_STATS:
         mean, std = DATASET_STATS[name]

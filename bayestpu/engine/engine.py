@@ -35,6 +35,18 @@ from bayestpu.metrics.ece import eval_metrics
 from bayestpu.metrics.entropy import mean_predictive_entropy, random_noise_like
 
 
+def _fetch_scalars(d: dict) -> dict:
+    """Fetch a dict of device scalars in ONE device→host transfer.
+
+    Per-scalar ``float(...)`` costs one host roundtrip each — ruinous on a
+    tunneled/remote TPU. Stack on device, transfer once."""
+    import numpy as np
+    names = list(d)
+    packed = np.asarray(jnp.stack([jnp.asarray(d[k], jnp.float32)
+                                   for k in names]))
+    return {k: float(v) for k, v in zip(names, packed)}
+
+
 class BayesEngine:
     """Executable wrapper around (model, variables) for MC inference."""
 
@@ -47,12 +59,13 @@ class BayesEngine:
         self.mesh = mesh
         self.variables: Any = None
         self._compiled = {}
+        self._jitted = {}   # num_samples → jitted predict fn (trace cache)
 
     # ------------------------------------------------------------ lifecycle
 
     def init(self, key: jax.Array, sample_input: jax.Array) -> "BayesEngine":
-        self.variables = self.model.init(
-            {"params": key, BAYES_RNG: key}, sample_input)
+        self.variables = jax.jit(lambda k, x: self.model.init(
+            {"params": k, BAYES_RNG: k}, x))(key, sample_input)
         return self
 
     def attach(self, variables: Any) -> "BayesEngine":
@@ -60,6 +73,8 @@ class BayesEngine:
         return self
 
     def _predict_fn(self, num_samples: int):
+        if num_samples in self._jitted:
+            return self._jitted[num_samples]
         mode = self.config.mode
 
         def fn(variables, x, key):
@@ -68,7 +83,8 @@ class BayesEngine:
                                           num_samples)
             return sampler.predictive(self.model, variables, x, key,
                                       num_samples, SamplingMode.SPATIAL)
-        return jax.jit(fn)
+        self._jitted[num_samples] = jax.jit(fn)
+        return self._jitted[num_samples]
 
     def compile(self, sample_input: jax.Array,
                 num_samples: int | None = None) -> dict:
@@ -102,6 +118,43 @@ class BayesEngine:
             return compiled(self.variables, x, key)
         return self._predict_fn(s)(self.variables, x, key)
 
+    def _battery_fn(self, num_samples: int, ood: bool):
+        """Jitted predict→metrics battery: ONE dispatch, device scalars out.
+
+        Metric math must live inside jit — computed eagerly it is dozens of
+        op dispatches per call, each a round trip on a remote chip."""
+        cache_key = ("battery", num_samples, ood, self.config.mode)
+        if cache_key in self._jitted:
+            return self._jitted[cache_key]
+        mode = self.config.mode
+
+        def battery(variables, x, y, key, noise):
+            if mode is SamplingMode.TEMPORAL:
+                pred = sampler.mc_moments(self.model, variables, x, key,
+                                          num_samples)
+            else:
+                pred = sampler.predictive(self.model, variables, x, key,
+                                          num_samples, SamplingMode.SPATIAL)
+            mets = dict(eval_metrics(pred.probs[-1], y))
+            mets["aPE"] = mean_predictive_entropy(pred.probs[-1])
+            if ood:
+                if mode is SamplingMode.TEMPORAL:
+                    npred = sampler.mc_moments(self.model, variables, noise,
+                                               key, num_samples)
+                else:
+                    npred = sampler.predictive(self.model, variables, noise,
+                                               key, num_samples,
+                                               SamplingMode.SPATIAL)
+                mets["aPE_ood"] = mean_predictive_entropy(npred.probs[-1])
+            return mets
+
+        self._jitted[cache_key] = jax.jit(battery)
+        return self._jitted[cache_key]
+
+    def _noise_for(self, x: jax.Array) -> jax.Array:
+        mean, std = jnp.mean(x), jnp.std(x)  # stays on device
+        return random_noise_like(jax.random.key(99), x.shape, mean, std)
+
     def evaluate(self, x: jax.Array, y: jax.Array,
                  key: jax.Array | None = None,
                  num_samples: int | None = None,
@@ -109,17 +162,48 @@ class BayesEngine:
         """Full metric battery on the MC-averaged prediction — the
         acceptance test of the flow (≙ ``hls4ml_pred.py:89-119`` printing
         Keras-vs-HLS acc/ECE/aPE). Metrics are per final exit."""
-        pred = self.predict(x, key, num_samples)
-        mets = {k: float(v) for k, v in
-                eval_metrics(pred.probs[-1], y).items()}
-        mets["aPE"] = float(mean_predictive_entropy(pred.probs[-1]))
-        if ood_check:
-            noise = random_noise_like(jax.random.key(99), x.shape,
-                                      float(x.mean()), float(x.std()))
-            noise_pred = self.predict(noise, key, num_samples)
-            mets["aPE_ood"] = float(
-                mean_predictive_entropy(noise_pred.probs[-1]))
-        return mets
+        key = key if key is not None else jax.random.key(0)
+        s = sampler.num_effective_samples(self.bayes, num_samples)
+        noise = self._noise_for(x) if ood_check else jnp.zeros((1,))
+        fn = self._battery_fn(s, ood_check)
+        return _fetch_scalars(fn(self.variables, x, y, key, noise))
+
+    def evaluate_repeated(self, x: jax.Array, y: jax.Array,
+                          passes: int = 10,
+                          key: jax.Array | None = None,
+                          num_samples: int | None = None,
+                          ood_check: bool = False,
+                          log_path: str | None = None) -> dict:
+        """Mean ± std of the battery over ``passes`` independent keys (≙
+        ``Software_Artifact/software/train/evaluate.py:8-31``:
+        ``mc_dropout_passes`` full passes, averaged, dumped to
+        ``log_<id>.txt``). All passes run in ONE vmapped dispatch."""
+        key = key if key is not None else jax.random.key(0)
+        s = sampler.num_effective_samples(self.bayes, num_samples)
+        noise = self._noise_for(x) if ood_check else jnp.zeros((1,))
+        battery = self._battery_fn(s, ood_check)
+
+        cache_key = ("battery_rep", s, ood_check, self.config.mode, passes)
+        if cache_key not in self._jitted:
+            def repeated(variables, x, y, k, noise):
+                keys = jax.vmap(lambda p: jax.random.fold_in(k, p))(
+                    jnp.arange(passes, dtype=jnp.uint32))
+                ms = jax.vmap(
+                    lambda kk: battery(variables, x, y, kk, noise))(keys)
+                out = {}
+                for name, v in ms.items():
+                    out[name] = jnp.mean(v)
+                    out[f"{name}_std"] = jnp.std(v)
+                return out
+            self._jitted[cache_key] = jax.jit(repeated)
+        out = _fetch_scalars(
+            self._jitted[cache_key](self.variables, x, y, key, noise))
+        out["passes"] = passes
+        if log_path is not None:
+            with open(log_path, "w") as f:
+                for name, v in out.items():
+                    f.write(f"{name}: {v}\n")
+        return out
 
     # ----------------------------------------------------------- profiling
 

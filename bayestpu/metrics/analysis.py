@@ -74,9 +74,9 @@ def _set_report(preds: np.ndarray, labels: np.ndarray, use_kde: bool
         unique = cur - cum
         cum = cum | cur
         overthink = cur & end_wrong
-        mets = {k: float(v) for k, v in
-                eval_metrics(jnp.asarray(preds[e]),
-                             jnp.asarray(labels)).items()}
+        from bayestpu.engine.engine import _fetch_scalars
+        mets = _fetch_scalars(eval_metrics(jnp.asarray(preds[e]),
+                                           jnp.asarray(labels)))
         kde = ece_kde(preds[e], labels) if use_kde else float("nan")
         rows.append(ExitReport(
             acc=mets["acc"], ece_kde=kde, ece_hist=mets["ece_hist"],
@@ -104,9 +104,9 @@ class FullAnalysis:
         self.use_kde = use_kde
         self.model_type = model_type
         self._pred_fn = jax.jit(
-            lambda vs, x, k, s: sampler.predictive(
-                self.model, vs, x, k, s).probs,
-            static_argnums=3)
+            lambda vs, x, k, i, s: sampler.predictive(
+                self.model, vs, x, jax.random.fold_in(k, i), s).probs,
+            static_argnums=4)
 
     # ------------------------------------------------------------- capture
 
@@ -119,15 +119,14 @@ class FullAnalysis:
         bs = self.batch_size
         n_full = n - n % bs
         for i in range(0, n_full, bs):
-            k = jax.random.fold_in(self.key, i)
             chunks.append(np.asarray(
                 self._pred_fn(self.variables, jnp.asarray(self.x[i:i + bs]),
-                              k, s)))
+                              self.key, i, s)))
         if n_full < n:  # remainder batch (recompiles once; fine host-side)
-            k = jax.random.fold_in(self.key, n_full)
             chunks.append(np.asarray(
                 self._pred_fn(self.variables,
-                              jnp.asarray(self.x[n_full:]), k, s)))
+                              jnp.asarray(self.x[n_full:]), self.key,
+                              n_full, s)))
         return np.concatenate(chunks, axis=1)
 
     # ------------------------------------------------------------ analysis
@@ -169,10 +168,11 @@ class FullAnalysis:
         rep = self.run()
         table = TABLES.get(self.model_type) if self.model_type else None
         rows = []
+        from bayestpu.engine.engine import _fetch_scalars
         for t in thresholds:
             res = early_exit_select(jnp.asarray(rep.preds), t, rule)
-            mets = {k: float(v) for k, v in
-                    eval_metrics(res.probs, jnp.asarray(self.y)).items()}
+            mets = _fetch_scalars(eval_metrics(res.probs,
+                                               jnp.asarray(self.y)))
             row = {"threshold": t, **mets,
                    "mean_exit": float(np.mean(np.asarray(res.exit_idx)))}
             if table is not None:

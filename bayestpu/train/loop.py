@@ -2,10 +2,12 @@
 
 Re-designs ``Software_Artifact/software/train/train_base.py`` for JAX:
 the inner step (forward, EED loss, backward, clip, update) is one jitted
-function; gradient accumulation is a ``lax.scan`` over micro-batches rather
-than the reference's modulo-step optimizer gating (``train_base.py:28-34``);
-early stopping on validation metric with patience and best-snapshot keeping
-mirrors ``train_base.py:64-78``.
+function; gradient accumulation is ``optax.MultiSteps`` in the optimizer
+chain (``bayestpu.train.optim.get_optimizer``) rather than the reference's
+modulo-step optimizer gating (``train_base.py:28-34``); early stopping on a
+validation metric with patience and best-snapshot keeping mirrors
+``train_base.py:64-78``, with the reference's three validation modes
+(accuracy / EED loss / CE loss, ``train_utils.py:40-65``).
 
 Training runs with the Bayesian sites ACTIVE (dropout on / mask-bank batch
 split), exactly as the reference trains its Bayes models (keras ``fit`` on
@@ -16,14 +18,16 @@ on, ``Hardware_Artifact/converter/keras/MCDropout.py:57-60``).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Any, Callable, Iterable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
-from bayestpu.core.rng import BAYES_RNG, step_key
+from bayestpu.core.rng import BAYES_RNG
 from bayestpu.nn.multiexit import ExitOutputs
 from bayestpu.train.losses import EEDConfig, eed_loss, multi_exit_accuracy
 
@@ -44,11 +48,14 @@ class TrainState:
 
 def create_state(model, tx: optax.GradientTransformation, key: jax.Array,
                  sample_input: jax.Array, train: bool = True) -> TrainState:
-    variables = model.init({"params": key, BAYES_RNG: key}, sample_input,
-                           train=train)
+    # One jitted init instead of dozens of eager op dispatches — on a
+    # remote/tunneled chip each eager op compile is a round trip.
+    init_fn = jax.jit(lambda k, x: model.init(
+        {"params": k, BAYES_RNG: k}, x, train=train))
+    variables = dict(init_fn(key, sample_input))
     params = variables.pop("params")
-    return TrainState(params=params, extra=dict(variables),
-                      opt_state=tx.init(params))
+    return TrainState(params=params, extra=variables,
+                      opt_state=jax.jit(tx.init)(params))
 
 
 def make_train_step(model, tx: optax.GradientTransformation,
@@ -56,9 +63,10 @@ def make_train_step(model, tx: optax.GradientTransformation,
                     has_batch_stats: bool = False) -> Callable:
     """Build the jitted training step.
 
-    Returns ``step(state_tuple, x, y, key) -> (state_tuple, metrics)`` where
-    ``state_tuple = (params, extra, opt_state)`` stays a pytree so the whole
-    step jits and shards cleanly.
+    Returns ``step(params, extra, opt_state, x, y, key, step_i=0)`` →
+    ``(params, extra, opt_state, metrics)``; everything stays a pytree so
+    the whole step jits and shards cleanly. ``key`` is the run key;
+    ``step_i`` is folded in inside the jit.
     """
 
     def loss_fn(params, extra, x, y, key):
@@ -77,7 +85,10 @@ def make_train_step(model, tx: optax.GradientTransformation,
         return loss, (out.logits, updates)
 
     @jax.jit
-    def train_step(params, extra, opt_state, x, y, key):
+    def train_step(params, extra, opt_state, x, y, key, step_i=0):
+        # step folding happens IN-jit: an eager fold_in per step would cost
+        # one dispatch round-trip each on a remote chip
+        key = jax.random.fold_in(key, step_i)
         (loss, (logits, updates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, extra, x, y, key)
         upd, opt_state = tx.update(grads, opt_state, params)
@@ -92,19 +103,133 @@ def make_train_step(model, tx: optax.GradientTransformation,
     return train_step
 
 
-def make_eval_step(model) -> Callable:
+def make_train_epoch(model, tx: optax.GradientTransformation,
+                     eed_cfg: EEDConfig = EEDConfig(),
+                     has_batch_stats: bool = False,
+                     augment_fn: Callable | None = None) -> Callable:
+    """Whole-epoch training as ONE jitted call: ``lax.scan`` over stacked
+    batches.
+
+    ``epoch(params, extra, opt_state, xs, ys, key, step0)`` with
+    ``xs: (n_batches, B, ...)``, ``ys: (n_batches, B)`` → ``(params, extra,
+    opt_state, metrics)`` where metrics are scan-stacked then averaged on
+    device. One dispatch per epoch instead of one per step — on a
+    remote/tunneled chip per-call overhead scales with the number of buffer
+    arguments (params+opt state ≈ 100 handles), so per-step dispatch
+    dominates wall clock for small models; the scan removes it entirely.
+    This is also the shape the reference's FPGA pipeline has: weights stay
+    resident, only activations stream.
+    """
+
+    def loss_fn(params, extra, x, y, key):
+        variables = {"params": params, **extra}
+        if has_batch_stats:
+            out, updates = model.apply(
+                variables, x, train=True, rngs={BAYES_RNG: key},
+                mutable=["batch_stats"])
+        else:
+            out = model.apply(variables, x, train=True,
+                              rngs={BAYES_RNG: key})
+            updates = {}
+        feats = out.features if isinstance(out.features, jax.Array) else None
+        loss = eed_loss(out.logits, y, feats, eed_cfg)
+        return loss, (out.logits, updates)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_epoch(params, extra, opt_state, xs, ys, key, step0=0):
+        n = xs.shape[0]
+
+        def body(carry, batch):
+            params, extra, opt_state = carry
+            x, y, i = batch
+            k = jax.random.fold_in(key, step0 + i)
+            if augment_fn is not None:
+                x = augment_fn(k, x, i)
+            (loss, (logits, updates)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, extra, x, y, k)
+            upd, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, upd)
+            if updates:
+                extra = {**extra, **updates}
+            metrics = {"loss": loss,
+                       "grad_norm": optax.global_norm(grads),
+                       **multi_exit_accuracy(logits, y)}
+            return (params, extra, opt_state), metrics
+
+        (params, extra, opt_state), ms = jax.lax.scan(
+            body, (params, extra, opt_state),
+            (xs, ys, jnp.arange(n, dtype=jnp.int32)))
+        mean_ms = jax.tree.map(lambda a: jnp.mean(a, axis=0), ms)
+        return params, extra, opt_state, mean_ms
+
+    return train_epoch
+
+
+def make_eval_step(model, eed_cfg: EEDConfig = EEDConfig()) -> Callable:
     """Deterministic-free eval: single stochastic pass per batch (the
     reference's validation also keeps dropout active through the wrapped
-    model; MC-averaged eval lives in ``bayestpu.engine``)."""
+    model; MC-averaged eval lives in ``bayestpu.engine``). Besides the
+    accuracy dict it emits the EED and plain-CE validation losses so the
+    loop can select on any of the reference's three modes
+    (``validate_model``/``validate_model_loss``, ``train_utils.py:40-65``)."""
+
+    def _ce(logits, labels):
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
 
     @jax.jit
-    def eval_step(params, extra, x, y, key):
+    def eval_step(params, extra, x, y, key, step_i=0):
+        key = jax.random.fold_in(key, step_i)
         out: ExitOutputs = model.apply(
             {"params": params, **extra}, x, train=False,
             rngs={BAYES_RNG: key})
-        return multi_exit_accuracy(out.logits, y)
+        m = multi_exit_accuracy(out.logits, y)
+        m["val_eed"] = eed_loss(out.logits, y, None, eed_cfg)
+        m["val_ce"] = _ce(out.logits[-1], y)
+        return m
 
     return eval_step
+
+
+def make_eval_epoch(model, eed_cfg: EEDConfig = EEDConfig()) -> Callable:
+    """All validation batches in ONE jitted scan (see ``make_train_epoch``
+    for why); returns batch-averaged metrics on device."""
+
+    def _ce(logits, labels):
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+    @jax.jit
+    def eval_epoch(params, extra, xs, ys, key):
+        variables = {"params": params, **extra}
+
+        def body(_, batch):
+            x, y, i = batch
+            k = jax.random.fold_in(key, 10_000_000 + i)
+            out: ExitOutputs = model.apply(variables, x, train=False,
+                                           rngs={BAYES_RNG: k})
+            m = multi_exit_accuracy(out.logits, y)
+            m["val_eed"] = eed_loss(out.logits, y, None, eed_cfg)
+            m["val_ce"] = _ce(out.logits[-1], y)
+            return None, m
+
+        n = xs.shape[0]
+        _, ms = jax.lax.scan(body, None,
+                             (xs, ys, jnp.arange(n, dtype=jnp.int32)))
+        return jax.tree.map(lambda a: jnp.mean(a, axis=0), ms)
+
+    return eval_epoch
+
+
+def _stackable(batches: list) -> bool:
+    """Scan path wants host numpy batches of one uniform shape."""
+    if not batches:
+        return False
+    if not all(isinstance(b[0], np.ndarray) and isinstance(b[1], np.ndarray)
+               for b in batches):
+        return False
+    return (len({b[0].shape for b in batches}) == 1
+            and len({b[1].shape for b in batches}) == 1)
 
 
 def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
@@ -114,43 +239,97 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
                eed_cfg: EEDConfig = EEDConfig(),
                patience: int = 10,
                has_batch_stats: bool = False,
+               val_mode: str = "acc",
+               epoch_scan: bool = True,
+               augment_fn: Callable | None = None,
                log_fn: Callable[[str], None] = print) -> TrainState:
     """Epoch driver with early stopping + best-snapshot keeping
     (``train_base.py:48-84``). ``train_batches``/``val_batches`` are
-    callables returning fresh iterators of (x, y) device-puttable batches.
+    callables returning fresh iterators of (x, y) batches.
+    ``val_mode`` selects the early-stop metric: ``acc`` (final-exit top-1,
+    higher-better), ``eed`` or ``ce`` (losses, lower-better) — the three
+    modes of ``train_utils.py:40-65``.
+
+    When the batches are uniform host arrays (the default pipelines) and
+    ``epoch_scan`` is on, each epoch runs as ONE jitted ``lax.scan``
+    (`make_train_epoch`) — one device dispatch per epoch. ``augment_fn``
+    (key, x, i) → x runs inside the scan (e.g. ``random_crop_flip``).
+    Otherwise falls back to the per-step path with on-device metric
+    accumulation (never a per-step ``float(...)`` sync — ruinous on a
+    remote chip).
     """
+    if val_mode not in ("acc", "eed", "ce"):
+        raise ValueError(f"unknown val_mode {val_mode!r}")
     train_step = make_train_step(model, tx, eed_cfg, has_batch_stats)
-    eval_step = make_eval_step(model)
+    eval_step = make_eval_step(model, eed_cfg)
+    train_epoch = make_train_epoch(model, tx, eed_cfg, has_batch_stats,
+                                   augment_fn) if epoch_scan else None
+    eval_epoch = make_eval_epoch(model, eed_cfg) if epoch_scan else None
+
+    def _last_exit(m: dict) -> str:
+        e = max(int(k[4]) for k in m
+                if k.startswith("exit") and k.endswith("_top1"))
+        return f"exit{e}_top1"
 
     best_metric, best_params, since_best = -float("inf"), state.params, 0
     for epoch in range(num_epochs):
         t0 = time.perf_counter()
-        n, loss_sum = 0, 0.0
-        for x, y in train_batches():
-            k = step_key(key, state.step)
-            state.params, state.extra, state.opt_state, m = train_step(
-                state.params, state.extra, state.opt_state,
-                jnp.asarray(x), jnp.asarray(y), k)
-            state.step += 1
-            loss_sum += float(m["loss"])
-            n += 1
-        msg = f"epoch {epoch}: loss {loss_sum / max(n, 1):.4f}"
+        batches = list(train_batches())
+        if train_epoch is not None and _stackable(batches):
+            xs = jnp.asarray(np.stack([b[0] for b in batches]))
+            ys = jnp.asarray(np.stack([b[1] for b in batches]))
+            state.params, state.extra, state.opt_state, ms = train_epoch(
+                state.params, state.extra, state.opt_state, xs, ys, key,
+                state.step)
+            state.step += len(batches)
+            ep_loss = float(ms["loss"])
+        else:
+            n, loss_sum = 0, None
+            for x, y in batches:
+                xd = jnp.asarray(x)
+                if augment_fn is not None:
+                    xd = augment_fn(jax.random.fold_in(key, state.step), xd,
+                                    state.step)
+                state.params, state.extra, state.opt_state, m = train_step(
+                    state.params, state.extra, state.opt_state,
+                    xd, jnp.asarray(y), key, state.step)
+                state.step += 1
+                loss_sum = (m["loss"] if loss_sum is None
+                            else loss_sum + m["loss"])
+                n += 1
+            ep_loss = float(loss_sum) / max(n, 1) if n else 0.0
+        msg = f"epoch {epoch}: loss {ep_loss:.4f}"
 
         if val_batches is not None:
-            accs, cnt = 0.0, 0
-            for x, y in val_batches():
-                m = eval_step(state.params, state.extra,
-                              jnp.asarray(x), jnp.asarray(y),
-                              step_key(key, 10_000_000 + cnt))
-                # final-exit top-1 is the selection metric (train_base.py:64)
-                last_exit = max(int(k[4]) for k in m if k.startswith("exit")
-                                and k.endswith("_top1"))
-                accs += float(m[f"exit{last_exit}_top1"])
-                cnt += 1
-            val_acc = accs / max(cnt, 1)
-            msg += f" val_acc {val_acc:.4f}"
+            vbatches = list(val_batches())
+            if eval_epoch is not None and _stackable(vbatches):
+                m = eval_epoch(state.params, state.extra,
+                               jnp.asarray(np.stack([b[0] for b in vbatches])),
+                               jnp.asarray(np.stack([b[1] for b in vbatches])),
+                               key)
+                val_acc = (float(m[_last_exit(m)]) if val_mode == "acc"
+                           else -float(m[f"val_{val_mode}"]))
+            else:
+                vsum, cnt = None, 0
+                for x, y in vbatches:
+                    m = eval_step(state.params, state.extra,
+                                  jnp.asarray(x), jnp.asarray(y),
+                                  key, 10_000_000 + cnt)
+                    if val_mode == "acc":
+                        # final-exit top-1 is the selection metric
+                        # (train_base.py:64)
+                        v = m[_last_exit(m)]
+                    else:  # lower-is-better losses → negate for max compare
+                        v = -m[f"val_{val_mode}"]
+                    vsum = v if vsum is None else vsum + v
+                    cnt += 1
+                val_acc = float(vsum) / max(cnt, 1) if cnt else 0.0
+            msg += f" val_{val_mode} {abs(val_acc):.4f}"
             if val_acc > best_metric:
-                best_metric, best_params, since_best = val_acc, state.params, 0
+                # device-side copy: the scan path donates params each epoch,
+                # which would invalidate a bare reference kept across epochs
+                best_params = jax.tree.map(jnp.copy, state.params)
+                best_metric, since_best = val_acc, 0
             else:
                 since_best += 1
                 if since_best >= patience:

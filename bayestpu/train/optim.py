@@ -39,6 +39,7 @@ class TrainRecipe:
     test_batch_size: int = 250
     grad_clip: float = 10.0
     patience: int = 25
+    accum_steps: int = 1             # grad accumulation (train_base.py:28-34)
 
 
 RECIPES: dict[str, TrainRecipe] = {
@@ -70,7 +71,13 @@ def get_schedule(recipe: TrainRecipe, steps_per_epoch: int
 
 def get_optimizer(recipe: TrainRecipe, steps_per_epoch: int = 1
                   ) -> optax.GradientTransformation:
-    """Build the optax chain: clip → (wd) → optimizer(schedule)."""
+    """Build the optax chain: clip → (wd) → optimizer(schedule).
+
+    ``recipe.accum_steps > 1`` wraps the chain in ``optax.MultiSteps`` —
+    gradients average over that many consecutive micro-batches before one
+    optimizer update, matching the reference's modulo-step accumulation
+    (``Software_Artifact/software/train/train_base.py:28-34``).
+    """
     sched = get_schedule(recipe, steps_per_epoch)
     if recipe.optimizer == "sgd":
         opt = optax.sgd(sched, momentum=recipe.momentum or None)
@@ -87,7 +94,10 @@ def get_optimizer(recipe: TrainRecipe, steps_per_epoch: int = 1
         # torch SGD couples wd into the gradient (hyperparameters recipes)
         parts.append(optax.add_decayed_weights(recipe.weight_decay))
     parts.append(opt)
-    return optax.chain(*parts)
+    tx = optax.chain(*parts)
+    if recipe.accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=recipe.accum_steps)
+    return tx
 
 
 def get_recipe(backbone: str, **overrides) -> TrainRecipe:

@@ -53,7 +53,8 @@ def bench_config(name: str, input_shape, batch: int, fused: bool,
                       dtype=dtype)
     key = jax.random.key(0)
     x = jax.random.normal(key, (batch,) + input_shape)
-    variables = model.init({"params": key, BAYES_RNG: key}, x)
+    variables = jax.jit(lambda k, xb: model.init(
+        {"params": k, BAYES_RNG: k}, xb))(key, x)
 
     @jax.jit
     def spatial(vs, xb, k):

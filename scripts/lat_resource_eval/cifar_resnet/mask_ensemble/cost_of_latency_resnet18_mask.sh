@@ -1,0 +1,5 @@
+#!/bin/bash
+# ≙ scripts/lat_resource_eval/cifar_resnet/mask_ensemble: mask-count sweep.
+set -e
+python -m bayestpu.cli.sweep masks --max_n 8 \
+  --out "${OUT:-sweeps/cifar_resnet/mask_ensemble}"

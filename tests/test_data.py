@@ -62,3 +62,13 @@ def test_iterate_batches_shuffles_deterministically():
     np.testing.assert_array_equal(np.concatenate(a), np.concatenate(b))
     c = [b[1] for b in datasets.iterate_batches(x, y, 16, seed=6)]
     assert not np.array_equal(np.concatenate(a), np.concatenate(c))
+
+
+def test_imagenet_chestx_stubs():
+    for name, (hw, classes) in (("imagenet", (224, 1000)),
+                                ("chestx", (224, 2))):
+        ds = datasets.get_dataset(name, data_dir="/nonexistent")
+        assert ds.x_train.shape[1:] == (hw, hw, 3)
+        assert ds.meta["num_classes"] == classes
+        assert ds.x_train.shape[0] <= 512  # capped synth size
+        assert ds.y_train.max() < classes

@@ -81,3 +81,20 @@ def test_benchmark_smoke(key):
     x = jax.random.normal(key, (4, 28, 28, 1))
     b = eng.benchmark(x, iters=2)
     assert b["samples_per_s"] > 0
+
+
+def test_evaluate_repeated_mean_std(tmp_path, key):
+    from bayestpu.core.config import BayesConfig
+    from bayestpu.nn.zoo import get_model
+    model = get_model("lenet", bayes=BayesConfig(rate=0.3))
+    eng = BayesEngine(model, BayesConfig(rate=0.3, num_samples=3)).init(
+        key, jnp.zeros((4, 28, 28, 1)))
+    x = jax.random.normal(key, (16, 28, 28, 1))
+    y = jnp.arange(16) % 10
+    log = str(tmp_path / "log_0.txt")
+    out = eng.evaluate_repeated(x, y, passes=3, key=key, log_path=log)
+    assert out["passes"] == 3
+    assert "acc" in out and "acc_std" in out and out["acc_std"] >= 0
+    assert "aPE" in out
+    with open(log) as f:
+        assert "acc:" in f.read()

@@ -94,3 +94,67 @@ def test_augment_shapes_and_flip(key):
     # different key → different augment
     out3 = random_crop_flip(jax.random.key(9), x)
     assert not np.array_equal(np.asarray(out), np.asarray(out3))
+
+
+def test_grad_accumulation_multisteps(key):
+    """accum_steps>1 → optax.MultiSteps: params update only every k micro
+    steps, and the accumulated update equals one big-batch step
+    (train_base.py:28-34 semantics)."""
+    r = get_recipe("lenet", accum_steps=2, grad_clip=0.0)
+    tx = get_optimizer(r, steps_per_epoch=1)
+    model = get_model("lenet", bayes=BayesConfig(rate=0.0))
+    x = jax.random.normal(key, (8, 28, 28, 1))
+    y = jnp.arange(8) % 10
+    state = create_state(model, tx, key, x)
+    step = make_train_step(model, tx)
+    p0 = state.params
+    # first micro-batch: gradients accumulate, params unchanged
+    state.params, state.extra, state.opt_state, _ = step(
+        state.params, state.extra, state.opt_state, x, y, key)
+    leaves0 = jax.tree.leaves(p0)
+    leaves1 = jax.tree.leaves(state.params)
+    assert all(np.allclose(a, b) for a, b in zip(leaves0, leaves1))
+    # second micro-batch: the update fires
+    state.params, state.extra, state.opt_state, _ = step(
+        state.params, state.extra, state.opt_state, x, y, key)
+    leaves2 = jax.tree.leaves(state.params)
+    assert any(not np.allclose(a, b) for a, b in zip(leaves0, leaves2))
+
+
+def test_val_mode_losses(key):
+    from bayestpu.train.loop import make_eval_step
+    model = get_model("lenet_me", bayes=BayesConfig(rate=0.1))
+    x = jax.random.normal(key, (8, 28, 28, 1))
+    y = jnp.arange(8) % 10
+    tx = optax.sgd(0.1)
+    state = create_state(model, tx, key, x)
+    m = make_eval_step(model)(state.params, state.extra, x, y, key)
+    assert float(m["val_eed"]) > 0 and float(m["val_ce"]) > 0
+    # CE of the final exit only is smaller than the summed multi-exit EED
+    assert float(m["val_ce"]) < float(m["val_eed"])
+
+
+def test_epoch_scan_matches_per_step(key):
+    """One-dispatch epoch scan (make_train_epoch) must reproduce the
+    per-step path bit-for-bit: same key folding, same update order."""
+    import numpy as np
+    from bayestpu.train.loop import TrainState, train_loop
+
+    model = get_model("lenet", bayes=BayesConfig(rate=0.25))
+    xs = np.random.default_rng(0).random((4, 16, 28, 28, 1)).astype("float32")
+    ys = (np.arange(4 * 16) % 10).astype("int32").reshape(4, 16)
+
+    def batches():
+        return [(xs[i], ys[i]) for i in range(4)]
+
+    results = []
+    for scan in (True, False):
+        tx = optax.sgd(0.05)
+        state = create_state(model, tx, key, jnp.asarray(xs[0]))
+        state = train_loop(model, state, tx, batches, key, num_epochs=2,
+                           epoch_scan=scan, log_fn=lambda s: None)
+        results.append(state.params)
+    a, b = (jax.tree.leaves(r) for r in results)
+    for la, lb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-6, atol=1e-6)
