@@ -30,7 +30,7 @@ from bayestpu.engine import sampler
 from bayestpu.nn.zoo import get_model
 
 MC_SAMPLES = 10
-WARMUP, ITERS = 3, 20
+WARMUP, ITERS = 3, 50
 
 
 def _latencies(fn, *args, iters=ITERS):
@@ -44,13 +44,17 @@ def _latencies(fn, *args, iters=ITERS):
     ts = np.asarray(ts)
     return {"p50_ms": float(np.percentile(ts, 50) * 1e3),
             "p90_ms": float(np.percentile(ts, 90) * 1e3),
-            "mean_s": float(ts.mean())}
+            "mean_s": float(ts.mean()),
+            # throughput uses min latency (timeit practice): device time here
+            # is ~0.1 ms, so host/tunnel RTT jitter poisons every other
+            # statistic on a remote chip; on a local chip min ≈ p50
+            "min_s": float(ts.min())}
 
 
 def bench_config(name: str, input_shape, batch: int, fused: bool,
-                 dtype=jnp.bfloat16) -> dict:
+                 dtype=jnp.bfloat16, quant=None) -> dict:
     model = get_model(name, bayes=BayesConfig(rate=0.25), fused=fused,
-                      dtype=dtype)
+                      dtype=dtype, quant=quant)
     key = jax.random.key(0)
     x = jax.random.normal(key, (batch,) + input_shape)
     variables = jax.jit(lambda k, xb: model.init(
@@ -80,11 +84,11 @@ def bench_config(name: str, input_shape, batch: int, fused: bool,
         return acc / MC_SAMPLES
 
     res = {"model": name, "batch": batch, "mc_samples": MC_SAMPLES,
-           "fused": fused}
+           "fused": fused, "quant": quant is not None}
     for tag, fn in (("spatial", spatial), ("temporal_scan", temporal_scan),
                     ("temporal_host_loop", host_loop)):
         lat = _latencies(fn, variables, x, key)
-        lat["samples_per_s"] = batch * MC_SAMPLES / lat["mean_s"]
+        lat["samples_per_s"] = batch * MC_SAMPLES / lat["min_s"]
         res[tag] = lat
     return res
 
@@ -97,6 +101,12 @@ def main() -> None:
     details["configs"].append(flagship)
     details["configs"].append(
         bench_config("lenet_me", (28, 28, 1), batch=256, fused=True))
+    # the paper's 8-bit operating point on the int8 MXU path
+    from bayestpu.core.config import QuantConfig
+    details["configs"].append(
+        bench_config("vgg11_me", (32, 32, 3), batch=128, fused=False,
+                     quant=QuantConfig(total_bits=8, integer_bits=0,
+                                       int8_infer=True)))
 
     sps = flagship["spatial"]["samples_per_s"]
     base = flagship["temporal_host_loop"]["samples_per_s"]
