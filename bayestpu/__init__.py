@@ -30,10 +30,14 @@ import jax as _jax
 # dirs (generated C++ reused across runs). Opt out: BAYESTPU_NO_XLA_CACHE=1.
 if (_jax.config.jax_compilation_cache_dir is None
         and not _os.environ.get("BAYESTPU_NO_XLA_CACHE")):
+    # One cache dir per platform setting: under the axon plugin even CPU
+    # helper executables may be compiled on the REMOTE host (different CPU
+    # features) — sharing a dir with local-CPU test runs risks SIGILL.
+    _plat = _jax.config.jax_platforms or "default"
     _jax.config.update(
         "jax_compilation_cache_dir",
         _os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                        _os.path.expanduser("~/.cache/bayestpu_xla")))
+                        _os.path.expanduser(f"~/.cache/bayestpu_xla_{_plat}")))
     # Threshold 0: on a tunneled TPU even sub-second eager-op compiles cost
     # an RPC each; caching them all is what makes re-running a CLI fast.
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -36,6 +36,11 @@ from bayestpu.nn.layers import ConvBN, Dense, avg_pool
 from bayestpu.nn.multiexit import ExitOutputs, stack_exits
 from bayestpu.nn.zoo.registry import register_model
 
+# torch Conv2d(k=3, padding=1) pads symmetrically; XLA "SAME" pads (0, 1)
+# for stride 2 — explicit padding keeps stride-2 convs aligned with the
+# reference's torch models (golden parity, tests/test_reference_golden.py)
+_P3 = ((1, 1), (1, 1))
+
 
 class BasicBlock(nn.Module):
     planes: int
@@ -47,11 +52,11 @@ class BasicBlock(nn.Module):
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         residual = x
         y = ConvBN(self.planes, (3, 3), (self.stride, self.stride),
-                   quant=self.quant, dtype=self.dtype, name="convbn1")(
-            x, train=train)
+                   padding=_P3, quant=self.quant, dtype=self.dtype,
+                   name="convbn1")(x, train=train)
         y = nn.relu(y)
-        y = ConvBN(self.planes, (3, 3), quant=self.quant, dtype=self.dtype,
-                   name="convbn2")(y, train=train)
+        y = ConvBN(self.planes, (3, 3), padding=_P3, quant=self.quant,
+                   dtype=self.dtype, name="convbn2")(y, train=train)
         if self.stride != 1 or x.shape[-1] != self.planes:
             residual = ConvBN(self.planes, (1, 1),
                               (self.stride, self.stride), quant=self.quant,
@@ -78,8 +83,9 @@ class Bottleneck(nn.Module):
         y = nn.relu(ConvBN(self.planes, (1, 1), quant=self.quant,
                            dtype=self.dtype, name="convbn1")(x, train=train))
         y = nn.relu(ConvBN(self.planes, (3, 3),
-                           (self.stride, self.stride), quant=self.quant,
-                           dtype=self.dtype, name="convbn2")(y, train=train))
+                           (self.stride, self.stride), padding=_P3,
+                           quant=self.quant, dtype=self.dtype,
+                           name="convbn2")(y, train=train))
         y = ConvBN(out_ch, (1, 1), quant=self.quant, dtype=self.dtype,
                    name="convbn3")(y, train=train)
         if self.stride != 1 or x.shape[-1] != out_ch:
@@ -105,7 +111,7 @@ class _ExitHead(nn.Module):
                  ) -> tuple[jax.Array, jax.Array]:
         y = nn.relu(x)
         for i, ch in enumerate(self.channels):
-            y = ConvBN(ch, (3, 3), (2, 2), quant=self.quant,
+            y = ConvBN(ch, (3, 3), (2, 2), padding=_P3, quant=self.quant,
                        dtype=self.dtype, name=f"convbn{i + 1}")(y, train=train)
             if i + 1 < len(self.channels):
                 y = nn.relu(y)
@@ -142,8 +148,8 @@ class ResNet18(nn.Module):
         n_stages = len(self.stage_blocks)
         site_kw = dict(sample_idx=sample_idx, train=train)
 
-        out = ConvBN(self.stage_planes[0], (3, 3), quant=q, dtype=dt,
-                     name="stem")(x, train=train)
+        out = ConvBN(self.stage_planes[0], (3, 3), padding=_P3, quant=q,
+                     dtype=dt, name="stem")(x, train=train)
 
         exits: list[jax.Array] = []
         feats: list[jax.Array] = []

@@ -91,7 +91,8 @@ class _VGGExitHead(nn.Module):
                  ) -> tuple[jax.Array, jax.Array]:
         y = nn.relu(x)
         for i, ch in enumerate(self.channels):
-            y = ConvBN(ch, (3, 3), (2, 2), quant=self.quant,
+            y = ConvBN(ch, (3, 3), (2, 2), padding=((1, 1), (1, 1)),
+                       quant=self.quant,
                        dtype=self.dtype, name=f"convbn{i + 1}")(y, train=train)
             y = nn.relu(y)
         if y.shape[1] > 1:
