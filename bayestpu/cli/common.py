@@ -71,6 +71,17 @@ def engine_from_args(a: argparse.Namespace) -> EngineConfig:
                         quant=quant_from_args(a))
 
 
+def run_suffix(a: argparse.Namespace) -> str:
+    """Run-name suffix in the reference's convention (``main.py:80-88``:
+    ``me_`` for multi-exit, then ``mc_droprate<p>`` / ``mask_scale<s>``)."""
+    s = "me_" if a.model.endswith("_me") else ""
+    if a.dropout_type == "mask":
+        s += f"mask_scale{int(a.scale)}"
+    elif a.dropout_type == "mc":
+        s += f"mc_droprate{a.dropout_rate:g}"
+    return s
+
+
 def build_model(a: argparse.Namespace):
     from bayestpu.data.datasets import _SHAPES
     from bayestpu.nn.zoo import get_model

@@ -46,6 +46,10 @@ def main(argv=None) -> dict:
                         "bayestpu/native/data_pipeline.cc)")
     p.add_argument("--val_fraction", type=float, default=0.1)
     p.add_argument("--out", default="snapshots/run")
+    p.add_argument("--runs_db", default=None,
+                   help="record config/stdout/metrics under this runs_db "
+                        "dir (≙ sacred FileStorageObserver, main.py:10-13); "
+                        "omit to disable")
     a = p.parse_args(argv)
 
     key = jax.random.key(a.seed)
@@ -91,12 +95,22 @@ def main(argv=None) -> dict:
                                shuffle=False)
 
     has_bn = "batch_stats" in state.extra
+    run = None
+    if a.runs_db:
+        from bayestpu.utils.rundb import Run
+        run = Run(a.runs_db, config=vars(a), name=common.run_suffix(a))
+
+    def log_fn(msg: str) -> None:
+        print(msg)
+        if run is not None:
+            run.log_text(msg)
+
     state = train_loop(
         model, state, tx, train_batches, key, recipe.epochs,
         val_batches=val_batches,
         eed_cfg=EEDConfig(use_eed=not a.no_eed, loss_output=a.loss_output),
         patience=recipe.patience, has_batch_stats=has_bn,
-        val_mode=a.val_mode, augment_fn=augment_fn)
+        val_mode=a.val_mode, augment_fn=augment_fn, log_fn=log_fn)
 
     ckpt = save_checkpoint(a.out, state, key)
     eng = BayesEngine(model, common.bayes_from_args(a),
@@ -104,6 +118,12 @@ def main(argv=None) -> dict:
     mets = eng.evaluate(jnp.asarray(ds.x_test[:1000]),
                         jnp.asarray(ds.y_test[:1000]), ood_check=True)
     result = {"checkpoint": ckpt, "synthetic": ds.meta["synthetic"], **mets}
+    if run is not None:
+        run.log_metrics(state.step, **{k: v for k, v in mets.items()
+                                       if isinstance(v, float)})
+        run.log_text(json.dumps(result))
+        run.close()
+        result["run_id"] = run.run_id
     print(json.dumps(result, indent=2))
     return result
 

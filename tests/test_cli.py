@@ -109,3 +109,15 @@ def test_figures_cli(tmp_path):
                             "--out", str(tmp_path / "figs")])
     figs = out["figures"] if isinstance(out, dict) else out
     assert any(str(p).endswith(".png") for p in figs)
+
+
+def test_train_cli_rundb(tmp_path):
+    res = cli_train.main([
+        "--model", "lenet_me", "--dataset", "mnist", "--dropout_type", "mc",
+        "--mc_samples", "2", "--epochs", "1", "--batch_size", "64",
+        "--out", str(tmp_path / "ckpt"), "--runs_db", str(tmp_path / "runs"),
+        "--data_dir", "/nonexistent"])
+    rd = tmp_path / "runs" / str(res["run_id"])
+    cfg = json.loads((rd / "config.json").read_text())
+    assert cfg["name"].startswith("me_mc_droprate")
+    assert (rd / "metrics.jsonl").exists() and (rd / "log.txt").exists()

@@ -127,3 +127,66 @@ def test_vgg19_me_all_exits_match_reference(ref_vgg19, key):
 
     assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def _import_ref_utils():
+    sys.path.insert(0, REF_SW)
+    try:
+        import utils as ref_utils
+        return ref_utils
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference utils unavailable: {e}")
+    finally:
+        sys.path.remove(REF_SW)
+
+
+def test_masksembles_layer_matches_reference_bank(key):
+    """Load the REFERENCE's own generated bank into our Masksembles layer:
+    train batch-split and eval mask-select must reproduce the torch
+    ``Masksembles1D`` outputs exactly (utils.py:206-236)."""
+    from bayestpu.nn.bayes import MASKS_COLLECTION, Masksembles
+
+    ref_utils = _import_ref_utils()
+    np.random.seed(11)
+    tm = ref_utils.Masksembles1D(32, 4, 2.0)
+    bank = tm.masks.detach().numpy()            # (4, 32)
+
+    layer = Masksembles(num_masks=4, scale=2.0)
+    x = np.random.default_rng(2).random((8, 32)).astype(np.float32)
+    variables = layer.init(key, jnp.asarray(x))
+    variables = {**variables, MASKS_COLLECTION: {"bank": jnp.asarray(bank)}}
+
+    # train mode: batch split into groups under consecutive masks
+    ours_tr = np.asarray(layer.apply(variables, jnp.asarray(x), train=True))
+    tm.train()
+    ref_tr = tm(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(ours_tr, ref_tr, rtol=1e-6)
+
+    # eval mode: sample_idx i == the reference's round-robin cnt == i
+    tm.eval()
+    for i in range(4):
+        ref_ev = tm(torch.from_numpy(x)).detach().numpy()   # advances cnt
+        ours_ev = np.asarray(layer.apply(
+            variables, jnp.asarray(x), sample_idx=i, train=False))
+        np.testing.assert_allclose(ours_ev, ref_ev, rtol=1e-6)
+
+
+def test_mask_bank_properties_match_reference_generator():
+    """Our exact-solver bank has the same structural properties as banks from
+    the reference's generation_wrapper (utils.py:66-110): width c, equal
+    ones-per-mask, full coverage."""
+    from bayestpu.kernels import mask_bank
+
+    ref_utils = _import_ref_utils()
+    np.random.seed(5)
+    ref_bank = ref_utils.generation_wrapper(64, 4, 2.0)
+    _, our_bank = mask_bank.generation_wrapper(64, 4, 2.0, rng=5)
+
+    assert ref_bank.shape == our_bank.shape == (4, 64)
+    # ones-per-mask: both generators draw exactly active_features ones
+    assert set(ref_bank.sum(1)) == set(our_bank.sum(1))
+    ours = mask_bank.bank_stats(our_bank)
+    refs = mask_bank.bank_stats(ref_bank.astype(np.float32))
+    assert ours["coverage"] == refs["coverage"] == 1.0
+    # overlap statistics within sampling noise of each other
+    assert abs(ours["mean_pair_overlap"] - refs["mean_pair_overlap"]) < 8.0
