@@ -105,12 +105,19 @@ def main(argv=None) -> dict:
         if run is not None:
             run.log_text(msg)
 
+    mesh = None
+    if a.opt_mode == "sharded" and len(jax.devices()) > 1:
+        from bayestpu.engine import sharding as _sh
+        mesh = _sh.make_mesh(len(jax.devices()), 1)
+        log_fn(f"data-parallel training over {mesh}")
+
     state = train_loop(
         model, state, tx, train_batches, key, recipe.epochs,
         val_batches=val_batches,
         eed_cfg=EEDConfig(use_eed=not a.no_eed, loss_output=a.loss_output),
         patience=recipe.patience, has_batch_stats=has_bn,
-        val_mode=a.val_mode, augment_fn=augment_fn, log_fn=log_fn)
+        val_mode=a.val_mode, augment_fn=augment_fn, mesh=mesh,
+        log_fn=log_fn)
 
     ckpt = save_checkpoint(a.out, state, key)
     eng = BayesEngine(model, common.bayes_from_args(a),

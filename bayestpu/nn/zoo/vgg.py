@@ -117,6 +117,10 @@ class VGG(nn.Module):
     dropout_exit: bool = False       # site before each exit classifier
     dropout: str | None = None       # None | "block": site after each block
     head_dims: Sequence[int] = ()    # extra dense widths before classifier
+    head_sites: bool = False         # Bayesian site after each hidden dense
+    #                                  (≙ make_classifier's MCDropout /
+    #                                  Masksembles1D between the 4096-wide
+    #                                  FCs at image_size 224, vgg19.py:146-170)
     quant: QuantConfig | None = None
     dtype: jnp.dtype = jnp.float32
     fused: bool = False
@@ -160,6 +164,9 @@ class VGG(nn.Module):
                 out = nn.BatchNorm(use_running_average=not train,
                                    name=f"fc_bn_{j}")(out)
             out = QuantAct(quant=q, name=f"fc_relu_{j}")(out)
+            if self.head_sites:
+                out = BayesSite(self.bayes, name=f"bayes_fc_{j}")(
+                    out, **site_kw)
         final_bayes = self.bayes if self.dropout_exit else dataclasses.replace(
             self.bayes, kind=DropoutKind.NONE)
         final = BayesDense(self.num_classes, bayes=final_bayes,

@@ -242,6 +242,7 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
                val_mode: str = "acc",
                epoch_scan: bool = True,
                augment_fn: Callable | None = None,
+               mesh=None,
                log_fn: Callable[[str], None] = print) -> TrainState:
     """Epoch driver with early stopping + best-snapshot keeping
     (``train_base.py:48-84``). ``train_batches``/``val_batches`` are
@@ -257,9 +258,29 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
     Otherwise falls back to the per-step path with on-device metric
     accumulation (never a per-step ``float(...)`` sync — ruinous on a
     remote chip).
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a ``data`` axis → data-parallel
+    training (P8): params/opt state replicated, each batch sharded over
+    ``data``; XLA's SPMD partitioner inserts the gradient all-reduce. The
+    reference's only "multi-GPU" is ``CUDA_VISIBLE_DEVICES`` passthrough
+    (``train_qkeras*.py:227-228``) — this is the real thing.
     """
     if val_mode not in ("acc", "eed", "ce"):
         raise ValueError(f"unknown val_mode {val_mode!r}")
+    if mesh is not None:
+        from bayestpu.engine import sharding as _sh
+        state.params = _sh.replicate(state.params, mesh)
+        state.extra = _sh.replicate(state.extra, mesh)
+        state.opt_state = _sh.replicate(state.opt_state, mesh)
+
+    def _shard(xs, ys, stacked: bool):
+        if mesh is None:
+            return xs, ys
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from bayestpu.engine.sharding import DATA_AXIS
+        spec = P(None, DATA_AXIS) if stacked else P(DATA_AXIS)
+        return (jax.device_put(xs, NamedSharding(mesh, spec)),
+                jax.device_put(ys, NamedSharding(mesh, spec)))
     train_step = make_train_step(model, tx, eed_cfg, has_batch_stats)
     eval_step = make_eval_step(model, eed_cfg)
     train_epoch = make_train_epoch(model, tx, eed_cfg, has_batch_stats,
@@ -278,6 +299,7 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
         if train_epoch is not None and _stackable(batches):
             xs = jnp.asarray(np.stack([b[0] for b in batches]))
             ys = jnp.asarray(np.stack([b[1] for b in batches]))
+            xs, ys = _shard(xs, ys, stacked=True)
             state.params, state.extra, state.opt_state, ms = train_epoch(
                 state.params, state.extra, state.opt_state, xs, ys, key,
                 state.step)
@@ -286,13 +308,14 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
         else:
             n, loss_sum = 0, None
             for x, y in batches:
-                xd = jnp.asarray(x)
+                xd, yd = _shard(jnp.asarray(x), jnp.asarray(y),
+                                stacked=False)
                 if augment_fn is not None:
                     xd = augment_fn(jax.random.fold_in(key, state.step), xd,
                                     state.step)
                 state.params, state.extra, state.opt_state, m = train_step(
                     state.params, state.extra, state.opt_state,
-                    xd, jnp.asarray(y), key, state.step)
+                    xd, yd, key, state.step)
                 state.step += 1
                 loss_sum = (m["loss"] if loss_sum is None
                             else loss_sum + m["loss"])

@@ -69,3 +69,34 @@ def test_distributed_evaluate_matches_unsharded(key):
 
 def test_initialize_single_host_noop():
     distributed.initialize()  # must not raise on one host
+
+
+def test_data_parallel_train_loop(key):
+    """train_loop(mesh=...) — params replicated, batches sharded over
+    `data`, loss decreases (P8; SURVEY §2.10)."""
+    import numpy as np
+    import optax
+    from bayestpu.core.config import BayesConfig
+    from bayestpu.engine import sharding
+    from bayestpu.nn.zoo import get_model
+    from bayestpu.train.loop import create_state, train_loop
+
+    mesh = sharding.make_mesh(4, 2)
+    model = get_model("lenet", bayes=BayesConfig(rate=0.1))
+    xs = np.random.default_rng(0).random((3, 16, 28, 28, 1), np.float32)
+    ys = (np.arange(3 * 16) % 10).astype(np.int32).reshape(3, 16)
+
+    def batches():
+        return [(xs[i], ys[i]) for i in range(3)]
+
+    losses = []
+    tx = optax.sgd(0.1)
+    state = create_state(model, tx, key, jnp.asarray(xs[0]))
+    state = train_loop(model, state, tx, batches, key, num_epochs=3,
+                       mesh=mesh,
+                       log_fn=lambda s: losses.append(
+                           float(s.split("loss ")[1].split()[0])))
+    assert losses[-1] < losses[0]
+    # params stayed replicated across the mesh
+    leaf = jax.tree.leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
