@@ -228,6 +228,172 @@ def _dropout_matmul_bwd(rate, block_m, block_n, block_k, interpret,
 dropout_matmul.defvjp(_dropout_matmul_fwd, _dropout_matmul_bwd)
 
 
+# ------------------------------------------------------- int8 MC dropout
+#
+# The paper's operating point is ap_fixed<8,0> arithmetic (BASELINE.md:
+# ``--quant_tbit 8``); the FPGA does every masked MAC in 8-bit fabric
+# logic. The TPU analogue is the MXU's int8 mode: keep x and w as int8
+# in VMEM, mask the int8 activation tile in registers with the SAME
+# counter-based PRNG stream as the float kernel (bit-identical keep
+# decisions for equal seeds), accumulate int8×int8→int32 on the MXU, and
+# fold dequantization *and* the 1/keep dropout rescale into one static
+# scalar applied to the int32 accumulator at the final K step. Inference
+# path only (PTQ — the reference also quantizes post/at training and
+# never backprops through ap_fixed inference).
+
+
+def _dropout_matmul_int8_kernel(seed_ref, x_ref, w_ref, o_ref, acc_ref, *,
+                                rate: float, out_scale: float, nk: int,
+                                block_m: int, block_k: int):
+    i, k = pl.program_id(0), pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xm = x_ref[:]
+    if rate > 0.0:
+        bits = _tile_bits(x_ref.shape, seed_ref[0, 0], seed_ref[0, 1], i, k,
+                          block_m, block_k)
+        keep = bits < jnp.uint32(_keep_threshold(rate))
+        xm = jnp.where(keep, xm, 0)
+    acc_ref[:] += jax.lax.dot_general(
+        xm, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(jnp.float32) * out_scale
+
+
+def dropout_matmul_int8(x_q: jax.Array, w_q: jax.Array, seeds: jax.Array,
+                        rate: float, x_step: float, w_step: float,
+                        block_m: int = 128, block_n: int = 128,
+                        block_k: int = 128,
+                        interpret: bool = False) -> jax.Array:
+    """``dequant(dropout(x_q) @ w_q)`` fully in int8 on the MXU.
+
+    x_q: (M, K) int8; w_q: (K, N) int8 (from ``core.quant.quantize_int8``);
+    the Bernoulli keep mask is generated in-kernel from the same PRNG
+    stream as ``dropout_matmul`` (bit-identical masks for equal seeds), so
+    int8-vs-float parity is testable mask-exactly. Returns float32 (M, N)
+    already rescaled by ``x_step·w_step/(1-rate)``.
+    """
+    m, k_dim = x_q.shape
+    n = w_q.shape[1]
+    assert x_q.dtype == jnp.int8 and w_q.dtype == jnp.int8
+    # int8 VMEM tiles are (32, 128): block_m/block_k already multiples.
+    xp = _pad_to(x_q, (block_m, block_k))
+    wp = _pad_to(w_q, (block_k, block_n))
+    mp, kp = xp.shape
+    np_ = wp.shape[1]
+    nk = kp // block_k
+    out_scale = float(x_step) * float(w_step) / (1.0 - rate)
+    seeds = jnp.reshape(seeds, (1, 2)).astype(jnp.int32)
+    y = pl.pallas_call(
+        functools.partial(_dropout_matmul_int8_kernel, rate=rate,
+                          out_scale=out_scale, nk=nk,
+                          block_m=block_m, block_k=block_k),
+        grid=(mp // block_m, np_ // block_n, nk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_ + 4 * mp * np_,
+            transcendentals=0),
+        interpret=interpret,
+    )(seeds, xp, wp)
+    return y[:m, :n]
+
+
+def _bank_matmul_int8_kernel(idx_ref, x_ref, w_ref, bank_ref, o_ref,
+                             acc_ref, *, out_scale: float, nk: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # int8 dynamic row slices need 4-row (sublane-packing) alignment on TPU;
+    # select the bank row branchlessly instead: rows are {0,1} so a masked
+    # max over the (tiny) mask axis extracts row idx exactly.
+    rows = jax.lax.broadcasted_iota(jnp.int32, bank_ref.shape, 0)
+    # int8 reductions aren't lowerable — widen the (tiny) bank to int32
+    sel = jnp.where(rows == idx_ref[0], bank_ref[:].astype(jnp.int32), 0)
+    row = jnp.max(sel, axis=0, keepdims=True)  # (1, block_k) int32 {0,1}
+    xm = jnp.where(row > 0, x_ref[:], 0)
+    acc_ref[:] += jax.lax.dot_general(
+        xm, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(jnp.float32) * out_scale
+
+
+def bank_matmul_int8(x_q: jax.Array, w_q: jax.Array, bank: jax.Array,
+                     sample_idx: jax.Array, x_step: float, w_step: float,
+                     block_m: int = 128, block_n: int = 128,
+                     block_k: int = 128,
+                     interpret: bool = False) -> jax.Array:
+    """Masksembles fused matmul on the int8 MXU path.
+
+    ``dequant((x_q ⊙ bank[sample_idx]) @ w_q)`` — the binary mask bank is
+    carried as int8 and the row picked by scalar prefetch, matching
+    ``bank_matmul`` semantics at the 8-bit operating point.
+    """
+    m, k_dim = x_q.shape
+    n = w_q.shape[1]
+    xp = _pad_to(x_q, (block_m, block_k))
+    wp = _pad_to(w_q, (block_k, block_n))
+    bank_i8 = (bank > 0.5).astype(jnp.int8) if bank.dtype != jnp.int8 else bank
+    bankp = _pad_to(bank_i8, (1, block_k))
+    mp, kp = xp.shape
+    np_ = wp.shape[1]
+    nk = kp // block_k
+    out_scale = float(x_step) * float(w_step)
+    idx = jnp.asarray(sample_idx, jnp.int32).reshape((1,)) % bank.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(mp // block_m, np_ // block_n, nk),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, k, idx: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k, idx: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bank.shape[0], block_k),
+                         lambda i, j, k, idx: (0, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n),
+                               lambda i, j, k, idx: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+    )
+    y = pl.pallas_call(
+        functools.partial(_bank_matmul_int8_kernel, out_scale=out_scale,
+                          nk=nk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(idx, xp, wp, bankp)
+    return y[:m, :n]
+
+
 # --------------------------------------------------------------- Masksembles
 
 

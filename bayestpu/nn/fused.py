@@ -23,13 +23,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from bayestpu.core.config import BayesConfig, DropoutKind, QuantConfig
-from bayestpu.core.quant import fake_quant
+from bayestpu.core.quant import fake_quant, quantize_int8
 from bayestpu.core.rng import BAYES_RNG
 from bayestpu.kernels import mask_bank
 from bayestpu.kernels.masked_matmul import (
     _dropout_apply,
     bank_matmul,
+    bank_matmul_int8,
     dropout_matmul,
+    dropout_matmul_int8,
 )
 from bayestpu.nn.bayes import MASKS_COLLECTION, BayesianDropout, Masksembles
 
@@ -85,9 +87,13 @@ class BayesDense(nn.Module):
         in_features = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (in_features, self.features), jnp.float32)
-        if self.quant is not None:
-            kernel = fake_quant(kernel, self.quant)
         kind = self.bayes.kind
+        # Fully-int8 fused inference (the paper's ap_fixed<8,0> operating
+        # point on the MXU int8 path, mask generated in-kernel).
+        int8_fused = (self.quant is not None and self.quant.int8_infer
+                      and self.fused and not train)
+        if self.quant is not None and not int8_fused:
+            kernel = fake_quant(kernel, self.quant)
 
         if kind is DropoutKind.MASK:
             def init_bank() -> jax.Array:
@@ -108,6 +114,11 @@ class BayesDense(nn.Module):
                 g = b // self.bayes.num_masks
                 gx = x.reshape((self.bayes.num_masks, g, in_features))
                 y = (gx * bank[:, None, :]).reshape(x.shape) @ kernel
+            elif int8_fused:
+                xq, xs = quantize_int8(x, self.quant)
+                wq, ws = quantize_int8(kernel, self.quant)
+                y = bank_matmul_int8(xq, wq, bank, sample_idx, xs, ws,
+                                     interpret=_use_interpret())
             elif self.fused:
                 y = bank_matmul(x, kernel, bank, sample_idx,
                                 interpret=_use_interpret())
@@ -117,7 +128,14 @@ class BayesDense(nn.Module):
                                axis=0)
                 y = (x * row) @ kernel
         elif kind is DropoutKind.MC and self.bayes.rate > 0.0:
-            if self.fused:
+            if int8_fused:
+                key = self.make_rng(BAYES_RNG)
+                seeds = jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
+                xq, xs = quantize_int8(x, self.quant)
+                wq, ws = quantize_int8(kernel, self.quant)
+                y = dropout_matmul_int8(xq, wq, seeds, self.bayes.rate,
+                                        xs, ws, interpret=_use_interpret())
+            elif self.fused:
                 key = self.make_rng(BAYES_RNG)
                 seeds = jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
                 y = dropout_matmul(x, kernel, seeds, self.bayes.rate,
@@ -126,6 +144,11 @@ class BayesDense(nn.Module):
                 xm = BayesianDropout(rate=self.bayes.rate, name="drop")(
                     x, sample_idx=sample_idx, train=train)
                 y = jnp.dot(xm, kernel, preferred_element_type=jnp.float32)
+        elif int8_fused:
+            xq, xs = quantize_int8(x, self.quant)
+            wq, ws = quantize_int8(kernel, self.quant)
+            y = dropout_matmul_int8(xq, wq, jnp.zeros((2,), jnp.int32), 0.0,
+                                    xs, ws, interpret=_use_interpret())
         else:
             y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
 

@@ -101,10 +101,11 @@ def main() -> None:
     details["configs"].append(flagship)
     details["configs"].append(
         bench_config("lenet_me", (28, 28, 1), batch=256, fused=True))
-    # the paper's 8-bit operating point on the int8 MXU path
+    # the paper's 8-bit operating point: int8 MXU path with the dropout
+    # mask fused into the int8 Pallas kernel
     from bayestpu.core.config import QuantConfig
     details["configs"].append(
-        bench_config("vgg11_me", (32, 32, 3), batch=128, fused=False,
+        bench_config("vgg11_me", (32, 32, 3), batch=128, fused=True,
                      quant=QuantConfig(total_bits=8, integer_bits=0,
                                        int8_infer=True)))
 

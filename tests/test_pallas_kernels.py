@@ -143,3 +143,84 @@ def test_bank_matmul_traced_index(key):
         np.testing.assert_allclose(np.asarray(ys[i]),
                                    np.asarray(x * bank[i]), rtol=1e-4,
                                    atol=1e-4)
+
+
+# ------------------------------------------------------------ int8 kernels
+
+
+def test_dropout_matmul_int8_mask_matches_float(key):
+    """Same seeds → bit-identical keep mask as the float kernel: the int8
+    result must equal the float kernel run on the dequantized operands."""
+    from bayestpu.core.config import QuantConfig
+    from bayestpu.core.quant import dequantize, quantize_int8
+    from bayestpu.kernels.masked_matmul import dropout_matmul_int8
+
+    cfg = QuantConfig(total_bits=8, integer_bits=2)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (24, 48))
+    w = jax.random.normal(k2, (48, 16)) * 0.5
+    xq, xs = quantize_int8(x, cfg)
+    wq, ws = quantize_int8(w, cfg)
+    seeds = jnp.asarray([11, 22], jnp.int32)
+    rate = 0.35
+    y8 = dropout_matmul_int8(xq, wq, seeds, rate, xs, ws, **I)
+    yf = dropout_matmul(dequantize(xq, xs), dequantize(wq, ws), seeds, rate,
+                        **I)
+    np.testing.assert_allclose(np.asarray(y8), np.asarray(yf), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_dropout_matmul_int8_rate_zero_exact(key):
+    """rate=0 → exact int32 arithmetic: equals the integer matmul rescaled."""
+    from bayestpu.core.config import QuantConfig
+    from bayestpu.core.quant import quantize_int8
+    from bayestpu.kernels.masked_matmul import dropout_matmul_int8
+
+    cfg = QuantConfig(total_bits=8, integer_bits=0)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (16, 32)) * 0.3
+    w = jax.random.normal(k2, (32, 8)) * 0.3
+    xq, xs = quantize_int8(x, cfg)
+    wq, ws = quantize_int8(w, cfg)
+    y = dropout_matmul_int8(xq, wq, jnp.zeros((2,), jnp.int32), 0.0, xs, ws,
+                            **I)
+    want = (np.asarray(xq, np.int32) @ np.asarray(wq, np.int32)) * (xs * ws)
+    np.testing.assert_allclose(np.asarray(y), want, rtol=1e-6, atol=1e-6)
+
+
+def test_bank_matmul_int8_matches_reference(key):
+    from bayestpu.core.config import QuantConfig
+    from bayestpu.core.quant import quantize_int8
+    from bayestpu.kernels.masked_matmul import bank_matmul_int8
+
+    cfg = QuantConfig(total_bits=8, integer_bits=1)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (12, 64))
+    w = jax.random.normal(k2, (64, 24)) * 0.4
+    xq, xs = quantize_int8(x, cfg)
+    wq, ws = quantize_int8(w, cfg)
+    _, bank = mask_bank.generation_wrapper(64, 4, 2.0, rng=0)
+    bank = jnp.asarray(bank)
+    for i in [0, 2, 6]:
+        y = bank_matmul_int8(xq, wq, bank, i, xs, ws, **I)
+        want = ((np.asarray(xq, np.int32) * np.asarray(bank[i % 4], np.int32))
+                @ np.asarray(wq, np.int32)) * (xs * ws)
+        np.testing.assert_allclose(np.asarray(y), want, rtol=1e-5, atol=1e-5)
+
+
+def test_bayes_dense_int8_fused_runs(key):
+    """BayesDense with int8_infer + fused lowers through the int8 kernels."""
+    from bayestpu.core.config import BayesConfig, QuantConfig
+    from bayestpu.core.rng import BAYES_RNG
+    from bayestpu.nn.fused import BayesDense
+
+    for kind_cfg in (BayesConfig(rate=0.3),
+                     BayesConfig(kind="mask", num_masks=4, scale=2.0),
+                     BayesConfig(rate=0.0)):
+        m = BayesDense(16, bayes=kind_cfg,
+                       quant=QuantConfig(total_bits=8, integer_bits=0,
+                                         int8_infer=True), fused=True)
+        x = jax.random.normal(key, (8, 32)) * 0.4
+        vs = m.init({"params": key, BAYES_RNG: key}, x)
+        y = m.apply(vs, x, sample_idx=1, rngs={BAYES_RNG: key})
+        assert y.shape == (8, 16) and jnp.isfinite(y).all()
