@@ -228,6 +228,103 @@ def _dropout_matmul_bwd(rate, block_m, block_n, block_k, interpret,
 dropout_matmul.defvjp(_dropout_matmul_fwd, _dropout_matmul_bwd)
 
 
+# ---------------------------------------------------- multi-sample MC head
+#
+# The reference's spatial mapping replicates the post-dropout head
+# ``mc_samples-1`` times on fabric so one pass yields every MC sample
+# (``s_qmodels_bayes.py:86-94``) — all replicas read the SAME cached
+# backbone activation. ``vmap`` gives the math but not the memory
+# behaviour: each mapped instance re-reads x from HBM. This kernel is the
+# true spatial analogue: one launch computes all S samples with each x
+# tile fetched ONCE (x HBM traffic equal to a single matmul, S× less than
+# vmap), looping samples in-registers against the resident tile. Seeds are
+# per-sample, so output s is bit-identical to ``dropout_matmul(x, w,
+# seeds[s], rate)`` — exact-parity-testable against the vmap path.
+
+
+def _dropout_matmul_samples_kernel(seed_ref, x_ref, w_ref, o_ref, acc_ref, *,
+                                   rate: float, num_samples: int, nk: int,
+                                   block_m: int, block_k: int):
+    i, k = pl.program_id(0), pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]
+    w = w_ref[:]
+    thresh = jnp.uint32(_keep_threshold(rate))
+    scale = 1.0 / (1.0 - rate)
+
+    def body(s, _):
+        bits = _tile_bits(x.shape, seed_ref[s, 0], seed_ref[s, 1], i, k,
+                          block_m, block_k)
+        xm = jnp.where(bits < thresh, x * scale, 0.0)
+        acc_ref[s] += jnp.dot(xm, w, preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, num_samples, body, 0, unroll=True)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def dropout_matmul_samples(x: jax.Array, w: jax.Array, seeds: jax.Array,
+                           rate: float, block_m: int = 128,
+                           block_n: int = 128, block_k: int = 128,
+                           interpret: bool = False) -> jax.Array:
+    """All-samples fused MC head: ``stack([dropout_s(x) @ w for s in S])``.
+
+    x: (M, K); w: (K, N); seeds: (S, 2) int32 — one PRNG stream per MC
+    sample. Returns (S, M, N) float32 with row s bit-identical to
+    ``dropout_matmul(x, w, seeds[s], rate)``. Inference path (no VJP) —
+    training always draws one sample per step.
+
+    VMEM: the accumulator is (S, block_m, block_n) f32 — S·64 KiB at the
+    default blocks; cap S ≲ 64 per call (engine chunks above that).
+    """
+    m, k_dim = x.shape
+    n = w.shape[1]
+    num_samples = seeds.shape[0]
+    if rate == 0.0:
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        return jnp.broadcast_to(y[None], (num_samples, m, n))
+    xp = _pad_to(x, (block_m, block_k))
+    wp = _pad_to(w, (block_k, block_n))
+    mp, kp = xp.shape
+    np_ = wp.shape[1]
+    nk = kp // block_k
+    seeds = seeds.astype(jnp.int32)
+    y = pl.pallas_call(
+        functools.partial(_dropout_matmul_samples_kernel, rate=rate,
+                          num_samples=num_samples, nk=nk,
+                          block_m=block_m, block_k=block_k),
+        grid=(mp // block_m, np_ // block_n, nk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((num_samples, block_m, block_n),
+                               lambda i, j, k: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_samples, mp, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((num_samples, block_m, block_n),
+                                   jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_samples * mp * np_ * kp,
+            bytes_accessed=4 * (mp * kp + kp * np_ + num_samples * mp * np_),
+            transcendentals=0),
+        interpret=interpret,
+    )(seeds, xp, wp)
+    return y[:, :m, :n]
+
+
 # ------------------------------------------------------- int8 MC dropout
 #
 # The paper's operating point is ap_fixed<8,0> arithmetic (BASELINE.md:

@@ -224,3 +224,36 @@ def test_bayes_dense_int8_fused_runs(key):
         vs = m.init({"params": key, BAYES_RNG: key}, x)
         y = m.apply(vs, x, sample_idx=1, rngs={BAYES_RNG: key})
         assert y.shape == (8, 16) and jnp.isfinite(y).all()
+
+
+# ---------------------------------------------------- multi-sample kernel
+
+
+def test_dropout_matmul_samples_bit_exact_per_sample(key):
+    """Row s of the all-samples kernel == dropout_matmul with seeds[s]."""
+    from bayestpu.kernels.masked_matmul import dropout_matmul_samples
+
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (16, 48))
+    w = jax.random.normal(k2, (48, 8))
+    seeds = (jnp.arange(10, dtype=jnp.int32).reshape(5, 2) * 17 + 3)
+    ys = dropout_matmul_samples(x, w, seeds, 0.3, **I)
+    assert ys.shape == (5, 16, 8)
+    for s in range(5):
+        y1 = dropout_matmul(x, w, seeds[s], 0.3, **I)
+        np.testing.assert_allclose(np.asarray(ys[s]), np.asarray(y1),
+                                   rtol=1e-5, atol=1e-5)
+    # distinct seeds → distinct samples
+    assert not np.allclose(np.asarray(ys[0]), np.asarray(ys[1]))
+
+
+def test_dropout_matmul_samples_rate_zero(key):
+    from bayestpu.kernels.masked_matmul import dropout_matmul_samples
+
+    x = jax.random.normal(key, (8, 16))
+    w = jnp.eye(16)
+    seeds = jnp.zeros((3, 2), jnp.int32)
+    ys = dropout_matmul_samples(x, w, seeds, 0.0, **I)
+    for s in range(3):
+        np.testing.assert_allclose(np.asarray(ys[s]), np.asarray(x),
+                                   rtol=1e-5, atol=1e-5)
