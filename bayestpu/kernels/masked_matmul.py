@@ -325,6 +325,56 @@ def dropout_matmul_samples(x: jax.Array, w: jax.Array, seeds: jax.Array,
     return y[:, :m, :n]
 
 
+# The engine's spatial mapping is ``vmap`` over per-sample keys
+# (``engine/sampler.py``). A vmapped ``dropout_matmul`` becomes one Pallas
+# call with a leading sample grid axis — correct, but each tiny head tile
+# pays grid-step overhead per sample and x is re-streamed. This wrapper
+# gives the inference path a custom batching rule: when ONLY the seeds
+# carry the mapped axis (the engine's exact pattern — x and w are shared),
+# ``vmap(dropout_matmul_inference)`` lowers to a single
+# ``dropout_matmul_samples`` launch. Gradients don't flow through
+# inference, so the custom_vjp path stays separate (custom_vmap does not
+# compose with reverse-mode AD).
+
+
+@functools.lru_cache(maxsize=None)
+def _inference_vmapped(rate: float, block_m: int, block_n: int,
+                       block_k: int, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def f(x, w, seeds):
+        return dropout_matmul(x, w, seeds, rate, block_m, block_n, block_k,
+                              interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, x, w, seeds):
+        xb, wb, sb = in_batched
+        if sb and not xb and not wb:
+            out = dropout_matmul_samples(x, w, seeds.reshape(axis_size, 2),
+                                         rate, block_m, block_n, block_k,
+                                         interpret)
+            return out, True
+        # generic fallback (e.g. batched activations): per-example map
+        def one(i):
+            return f(x[i] if xb else x, w[i] if wb else w,
+                     seeds[i] if sb else seeds)
+        return jax.lax.map(one, jnp.arange(axis_size)), True
+
+    return f
+
+
+def dropout_matmul_inference(x: jax.Array, w: jax.Array, seeds: jax.Array,
+                             rate: float, block_m: int = 128,
+                             block_n: int = 128, block_k: int = 128,
+                             interpret: bool = False) -> jax.Array:
+    """``dropout_matmul`` for the no-grad inference path: identical values,
+    plus a vmap rule that collapses a sample-mapped call into one
+    ``dropout_matmul_samples`` kernel launch."""
+    if rate == 0.0:
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return _inference_vmapped(rate, block_m, block_n, block_k, interpret)(
+        x, w, seeds)
+
+
 # ------------------------------------------------------- int8 MC dropout
 #
 # The paper's operating point is ap_fixed<8,0> arithmetic (BASELINE.md:

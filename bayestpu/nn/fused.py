@@ -31,6 +31,7 @@ from bayestpu.kernels.masked_matmul import (
     bank_matmul,
     bank_matmul_int8,
     dropout_matmul,
+    dropout_matmul_inference,
     dropout_matmul_int8,
 )
 from bayestpu.nn.bayes import MASKS_COLLECTION, BayesianDropout, Masksembles
@@ -138,8 +139,11 @@ class BayesDense(nn.Module):
             elif self.fused:
                 key = self.make_rng(BAYES_RNG)
                 seeds = jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
-                y = dropout_matmul(x, kernel, seeds, self.bayes.rate,
-                                   interpret=_use_interpret())
+                # inference variant carries the vmap rule that collapses the
+                # engine's sample-vmapped call into one multi-sample kernel
+                mm = dropout_matmul if train else dropout_matmul_inference
+                y = mm(x, kernel, seeds, self.bayes.rate,
+                       interpret=_use_interpret())
             else:
                 xm = BayesianDropout(rate=self.bayes.rate, name="drop")(
                     x, sample_idx=sample_idx, train=train)
