@@ -564,6 +564,116 @@ def _bank_matmul_kernel(idx_ref, x_ref, w_ref, bank_ref, o_ref, acc_ref, *,
         o_ref[:] = acc_ref[:]
 
 
+def _bank_matmul_samples_kernel(idx_ref, x_ref, w_ref, bank_ref, o_ref,
+                                acc_ref, *, num_samples: int, nk: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]
+    w = w_ref[:]
+    rows = jax.lax.broadcasted_iota(jnp.int32, bank_ref.shape, 0)
+
+    def body(s, _):
+        sel = jnp.where(rows == idx_ref[s], bank_ref[:], 0.0)
+        row = jnp.max(sel, axis=0, keepdims=True)  # (1, block_k)
+        acc_ref[s] += jnp.dot(x * row, w, preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, num_samples, body, 0, unroll=True)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def bank_matmul_samples(x: jax.Array, w: jax.Array, bank: jax.Array,
+                        sample_idxs: jax.Array, block_m: int = 128,
+                        block_n: int = 128, block_k: int = 128,
+                        interpret: bool = False) -> jax.Array:
+    """All-masks fused Masksembles head: one launch computes
+    ``(x ⊙ bank[idx_s]) @ w`` for every sample index, x tiles fetched once.
+    Returns (S, M, N) float32 — row s equals ``bank_matmul(x, w, bank,
+    sample_idxs[s])``."""
+    m, _ = x.shape
+    n = w.shape[1]
+    num_samples = sample_idxs.shape[0]
+    xp = _pad_to(x, (block_m, block_k))
+    wp = _pad_to(w, (block_k, block_n))
+    bankp = _pad_to(bank, (1, block_k))
+    mp, kp = xp.shape
+    np_ = wp.shape[1]
+    nk = kp // block_k
+    idxs = jnp.asarray(sample_idxs, jnp.int32) % bank.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(mp // block_m, np_ // block_n, nk),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, k, idx: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k, idx: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bank.shape[0], block_k),
+                         lambda i, j, k, idx: (0, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((num_samples, block_m, block_n),
+                               lambda i, j, k, idx: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((num_samples, block_m, block_n),
+                                   jnp.float32)],
+    )
+    y = pl.pallas_call(
+        functools.partial(_bank_matmul_samples_kernel,
+                          num_samples=num_samples, nk=nk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_samples, mp, np_), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(idxs, xp, wp, bankp)
+    return y[:, :m, :n]
+
+
+@functools.lru_cache(maxsize=None)
+def _bank_inference_vmapped(block_m: int, block_n: int, block_k: int,
+                            interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def f(x, w, bank, sample_idx):
+        return bank_matmul(x, w, bank, sample_idx, block_m, block_n, block_k,
+                           interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, x, w, bank, sample_idx):
+        xb, wb, bb, ib = in_batched
+        if ib and not (xb or wb or bb):
+            out = bank_matmul_samples(x, w, bank,
+                                      sample_idx.reshape(axis_size),
+                                      block_m, block_n, block_k, interpret)
+            return out, True
+        def one(i):
+            return f(x[i] if xb else x, w[i] if wb else w,
+                     bank[i] if bb else bank,
+                     sample_idx[i] if ib else sample_idx)
+        return jax.lax.map(one, jnp.arange(axis_size)), True
+
+    return f
+
+
+def bank_matmul_inference(x: jax.Array, w: jax.Array, bank: jax.Array,
+                          sample_idx: jax.Array, block_m: int = 128,
+                          block_n: int = 128, block_k: int = 128,
+                          interpret: bool = False) -> jax.Array:
+    """``bank_matmul`` with a vmap rule collapsing a sample-index-mapped call
+    (the engine's per-mask spatial sweep) into one ``bank_matmul_samples``
+    launch."""
+    return _bank_inference_vmapped(block_m, block_n, block_k, interpret)(
+        x, w, bank, sample_idx)
+
+
 def bank_matmul(x: jax.Array, w: jax.Array, bank: jax.Array,
                 sample_idx: jax.Array, block_m: int = 128,
                 block_n: int = 128, block_k: int = 128,

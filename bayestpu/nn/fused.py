@@ -28,7 +28,7 @@ from bayestpu.core.rng import BAYES_RNG
 from bayestpu.kernels import mask_bank
 from bayestpu.kernels.masked_matmul import (
     _dropout_apply,
-    bank_matmul,
+    bank_matmul_inference,
     bank_matmul_int8,
     dropout_matmul,
     dropout_matmul_inference,
@@ -121,8 +121,8 @@ class BayesDense(nn.Module):
                 y = bank_matmul_int8(xq, wq, bank, sample_idx, xs, ws,
                                      interpret=_use_interpret())
             elif self.fused:
-                y = bank_matmul(x, kernel, bank, sample_idx,
-                                interpret=_use_interpret())
+                y = bank_matmul_inference(x, kernel, bank, sample_idx,
+                                          interpret=_use_interpret())
             else:
                 row = jnp.take(bank,
                                jnp.asarray(sample_idx) % self.bayes.num_masks,

@@ -257,3 +257,42 @@ def test_dropout_matmul_samples_rate_zero(key):
     for s in range(3):
         np.testing.assert_allclose(np.asarray(ys[s]), np.asarray(x),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_bank_matmul_samples_matches_per_sample(key):
+    from bayestpu.kernels.masked_matmul import (
+        bank_matmul_inference,
+        bank_matmul_samples,
+    )
+
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (12, 64))
+    w = jax.random.normal(k2, (64, 24))
+    _, bank = mask_bank.generation_wrapper(64, 4, 2.0, rng=0)
+    bank = jnp.asarray(bank)
+    idxs = jnp.asarray([0, 1, 2, 3, 5], jnp.int32)
+    ys = bank_matmul_samples(x, w, bank, idxs, **I)
+    assert ys.shape == (5, 12, 24)
+    for s, i in enumerate([0, 1, 2, 3, 5]):
+        want = (x * bank[i % 4]) @ w
+        np.testing.assert_allclose(np.asarray(ys[s]), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+    # the custom_vmap rule produces the same thing from a vmapped call
+    yv = jax.vmap(lambda i: bank_matmul_inference(x, w, bank, i, **I))(idxs)
+    np.testing.assert_allclose(np.asarray(yv), np.asarray(ys), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_dropout_matmul_inference_vmap_rule(key):
+    """vmap(dropout_matmul_inference) over seeds == per-sample calls."""
+    from bayestpu.kernels.masked_matmul import dropout_matmul_inference
+
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (16, 32))
+    w = jax.random.normal(k2, (32, 8))
+    seeds = jnp.arange(8, dtype=jnp.int32).reshape(4, 2) * 31 + 7
+    yv = jax.vmap(lambda s: dropout_matmul_inference(x, w, s, 0.3, **I))(seeds)
+    for s in range(4):
+        y1 = dropout_matmul(x, w, seeds[s], 0.3, **I)
+        np.testing.assert_allclose(np.asarray(yv[s]), np.asarray(y1),
+                                   rtol=1e-5, atol=1e-5)
