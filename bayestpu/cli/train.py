@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,12 @@ def main(argv=None) -> dict:
                         "bayestpu/native/data_pipeline.cc)")
     p.add_argument("--val_fraction", type=float, default=0.1)
     p.add_argument("--out", default="snapshots/run")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <out>_last (full state: params + opt "
+                        "+ PRNG key + step); continues bit-identically")
+    p.add_argument("--checkpoint_every", type=int, default=1,
+                   help="rolling <out>_last checkpoint every N epochs "
+                        "(0 = off)")
     p.add_argument("--runs_db", default=None,
                    help="record config/stdout/metrics under this runs_db "
                         "dir (≙ sacred FileStorageObserver, main.py:10-13); "
@@ -68,6 +75,20 @@ def main(argv=None) -> dict:
     state = create_state(
         model, tx, key,
         jnp.asarray(ds.x_train[:recipe.batch_size]))
+
+    start_epoch = 0
+    # sibling of the final checkpoint (orbax save(force=True) to a.out
+    # would delete anything nested inside it)
+    resume_path = a.out.rstrip("/") + "_last"
+    if a.resume:
+        if not os.path.isdir(resume_path):
+            raise FileNotFoundError(
+                f"--resume: no checkpoint at {resume_path}")
+        from bayestpu.train.checkpoint import restore_checkpoint
+        state, key = restore_checkpoint(resume_path, state, key)
+        start_epoch = state.step // steps
+        print(f"resumed from {resume_path}: step {state.step} "
+              f"(epoch {start_epoch})")
 
     if a.pipeline == "host":
         from bayestpu.data.pipeline import BatchPipeline
@@ -117,7 +138,8 @@ def main(argv=None) -> dict:
         eed_cfg=EEDConfig(use_eed=not a.no_eed, loss_output=a.loss_output),
         patience=recipe.patience, has_batch_stats=has_bn,
         val_mode=a.val_mode, augment_fn=augment_fn, mesh=mesh,
-        log_fn=log_fn)
+        checkpoint_dir=resume_path, checkpoint_every=a.checkpoint_every,
+        start_epoch=start_epoch, log_fn=log_fn)
 
     ckpt = save_checkpoint(a.out, state, key)
     eng = BayesEngine(model, common.bayes_from_args(a),

@@ -243,6 +243,9 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
                epoch_scan: bool = True,
                augment_fn: Callable | None = None,
                mesh=None,
+               checkpoint_dir: str | None = None,
+               checkpoint_every: int = 1,
+               start_epoch: int = 0,
                log_fn: Callable[[str], None] = print) -> TrainState:
     """Epoch driver with early stopping + best-snapshot keeping
     (``train_base.py:48-84``). ``train_batches``/``val_batches`` are
@@ -264,6 +267,13 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
     ``data``; XLA's SPMD partitioner inserts the gradient all-reduce. The
     reference's only "multi-GPU" is ``CUDA_VISIBLE_DEVICES`` passthrough
     (``train_qkeras*.py:227-228``) — this is the real thing.
+
+    ``checkpoint_dir``: write a rolling full checkpoint (params + opt state
+    + PRNG key + step) to that path every ``checkpoint_every`` epochs —
+    the mid-run failure-recovery the reference lacks (SURVEY §5.3-5.4).
+    ``start_epoch`` resumes the epoch count after a restore; the per-step
+    key folding is a pure function of ``state.step``, so a restored run
+    continues bit-identically to an uninterrupted one.
     """
     if val_mode not in ("acc", "eed", "ce"):
         raise ValueError(f"unknown val_mode {val_mode!r}")
@@ -292,8 +302,15 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
                 if k.startswith("exit") and k.endswith("_top1"))
         return f"exit{e}_top1"
 
+    def _maybe_checkpoint(epoch: int) -> None:
+        if checkpoint_dir is None or checkpoint_every <= 0:
+            return
+        if (epoch + 1) % checkpoint_every == 0:
+            from bayestpu.train.checkpoint import save_checkpoint
+            save_checkpoint(checkpoint_dir, state, key)
+
     best_metric, best_params, since_best = -float("inf"), state.params, 0
-    for epoch in range(num_epochs):
+    for epoch in range(start_epoch, num_epochs):
         t0 = time.perf_counter()
         batches = list(train_batches())
         if train_epoch is not None and _stackable(batches):
@@ -358,8 +375,10 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
                 if since_best >= patience:
                     log_fn(msg + "  (early stop)")
                     state.params = best_params
+                    _maybe_checkpoint(epoch)
                     return state
         log_fn(msg + f"  ({time.perf_counter() - t0:.1f}s)")
+        _maybe_checkpoint(epoch)
 
     if val_batches is not None:
         state.params = best_params

@@ -158,3 +158,45 @@ def test_epoch_scan_matches_per_step(key):
     for la, lb in zip(a, b):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_checkpoint_resume_bit_identical(tmp_path, key):
+    """Interrupt-and-resume equals an uninterrupted run exactly: the rolling
+    checkpoint carries params + opt state + PRNG key + step, and per-step
+    key folding is a pure function of step (SURVEY §5.3-5.4 upgrade)."""
+    import numpy as np
+    import optax
+
+    from bayestpu.core.config import BayesConfig
+    from bayestpu.nn.zoo import get_model
+    from bayestpu.train.checkpoint import restore_checkpoint
+    from bayestpu.train.loop import create_state, train_loop
+
+    model = get_model("lenet", bayes=BayesConfig(rate=0.25))
+    rng = np.random.default_rng(0)
+    xs = rng.normal(size=(4, 8, 28, 28, 1)).astype(np.float32)
+    ys = rng.integers(0, 10, size=(4, 8)).astype(np.int32)
+    batches = lambda: [(xs[i], ys[i]) for i in range(4)]
+    tx = optax.sgd(0.05)
+
+    def fresh():
+        return create_state(model, tx, key, jnp.asarray(xs[0]))
+
+    # uninterrupted 4 epochs
+    s_full = train_loop(model, fresh(), tx, batches, key, 4,
+                        log_fn=lambda m: None)
+
+    # 2 epochs + rolling checkpoint, then restore and run epochs 2..4
+    ckpt = str(tmp_path / "roll")
+    s_half = train_loop(model, fresh(), tx, batches, key, 2,
+                        checkpoint_dir=ckpt, log_fn=lambda m: None)
+    s_restored, rkey = restore_checkpoint(ckpt, fresh(), key)
+    assert s_restored.step == s_half.step == 8
+    s_resumed = train_loop(model, s_restored, tx, batches, rkey, 4,
+                           start_epoch=2, log_fn=lambda m: None)
+
+    flat_a = jax.tree.leaves(s_full.params)
+    flat_b = jax.tree.leaves(s_resumed.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert s_resumed.step == s_full.step
