@@ -76,7 +76,7 @@ def main(argv=None) -> dict:
         model, tx, key,
         jnp.asarray(ds.x_train[:recipe.batch_size]))
 
-    start_epoch = 0
+    start_epoch, best0 = 0, None
     # sibling of the final checkpoint (orbax save(force=True) to a.out
     # would delete anything nested inside it)
     resume_path = a.out.rstrip("/") + "_last"
@@ -85,8 +85,11 @@ def main(argv=None) -> dict:
             raise FileNotFoundError(
                 f"--resume: no checkpoint at {resume_path}")
         from bayestpu.train.checkpoint import restore_checkpoint
-        state, key = restore_checkpoint(resume_path, state, key)
-        start_epoch = state.step // steps
+        state, key, aux = restore_checkpoint(resume_path, state, key,
+                                             with_aux=True)
+        start_epoch = int(aux["epoch"]) + 1
+        best0 = (float(aux["best_metric"]), aux["best_params"],
+                 int(aux["since_best"]))
         print(f"resumed from {resume_path}: step {state.step} "
               f"(epoch {start_epoch})")
 
@@ -95,6 +98,7 @@ def main(argv=None) -> dict:
         pipe = BatchPipeline(ds.x_train, ds.y_train, recipe.batch_size,
                              pad=4 if a.augment else 0, train=True,
                              seed=a.seed)
+        pipe.seek(start_epoch)  # resumed runs replay the right shuffles
         augment_fn = None  # host pipeline already augments
 
         def train_batches():
@@ -139,7 +143,7 @@ def main(argv=None) -> dict:
         patience=recipe.patience, has_batch_stats=has_bn,
         val_mode=a.val_mode, augment_fn=augment_fn, mesh=mesh,
         checkpoint_dir=resume_path, checkpoint_every=a.checkpoint_every,
-        start_epoch=start_epoch, log_fn=log_fn)
+        start_epoch=start_epoch, best0=best0, log_fn=log_fn)
 
     ckpt = save_checkpoint(a.out, state, key)
     eng = BayesEngine(model, common.bayes_from_args(a),

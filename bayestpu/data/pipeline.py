@@ -118,6 +118,11 @@ class BatchPipeline:
         self.use_native = use_native
         self._epoch = 0
 
+    def seek(self, epoch: int) -> None:
+        """Position the epoch counter (shuffle/augment seeds are a pure
+        function of it) — resumed training replays the right orders."""
+        self._epoch = epoch
+
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         n = self.x.shape[0]
         rng = np.random.default_rng(self.seed + self._epoch)

@@ -282,7 +282,8 @@ def dropout_matmul_samples(x: jax.Array, w: jax.Array, seeds: jax.Array,
     training always draws one sample per step.
 
     VMEM: the accumulator is (S, block_m, block_n) f32 — S·64 KiB at the
-    default blocks; cap S ≲ 64 per call (engine chunks above that).
+    default blocks; keep S ≲ 32 per call (the ``*_inference`` vmap rules
+    chunk at ``_SAMPLE_CHUNK`` and concatenate).
     """
     m, k_dim = x.shape
     n = w.shape[1]
@@ -337,6 +338,11 @@ def dropout_matmul_samples(x: jax.Array, w: jax.Array, seeds: jax.Array,
 # compose with reverse-mode AD).
 
 
+# Samples per multi-sample launch: bounds the (S, block_m, block_n) f32
+# accumulator + output block at ~2·2 MiB of VMEM (32·64 KiB each).
+_SAMPLE_CHUNK = 32
+
+
 @functools.lru_cache(maxsize=None)
 def _inference_vmapped(rate: float, block_m: int, block_n: int,
                        block_k: int, interpret: bool):
@@ -349,9 +355,12 @@ def _inference_vmapped(rate: float, block_m: int, block_n: int,
     def _rule(axis_size, in_batched, x, w, seeds):
         xb, wb, sb = in_batched
         if sb and not xb and not wb:
-            out = dropout_matmul_samples(x, w, seeds.reshape(axis_size, 2),
-                                         rate, block_m, block_n, block_k,
-                                         interpret)
+            seeds2 = seeds.reshape(axis_size, 2)
+            outs = [dropout_matmul_samples(x, w, seeds2[i:i + _SAMPLE_CHUNK],
+                                           rate, block_m, block_n, block_k,
+                                           interpret)
+                    for i in range(0, axis_size, _SAMPLE_CHUNK)]
+            out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
             return out, True
         # generic fallback (e.g. batched activations): per-example map
         def one(i):
@@ -650,9 +659,12 @@ def _bank_inference_vmapped(block_m: int, block_n: int, block_k: int,
     def _rule(axis_size, in_batched, x, w, bank, sample_idx):
         xb, wb, bb, ib = in_batched
         if ib and not (xb or wb or bb):
-            out = bank_matmul_samples(x, w, bank,
-                                      sample_idx.reshape(axis_size),
-                                      block_m, block_n, block_k, interpret)
+            idxs = sample_idx.reshape(axis_size)
+            outs = [bank_matmul_samples(x, w, bank,
+                                        idxs[i:i + _SAMPLE_CHUNK],
+                                        block_m, block_n, block_k, interpret)
+                    for i in range(0, axis_size, _SAMPLE_CHUNK)]
+            out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
             return out, True
         def one(i):
             return f(x[i] if xb else x, w[i] if wb else w,

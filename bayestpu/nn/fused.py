@@ -95,6 +95,9 @@ class BayesDense(nn.Module):
                       and self.fused and not train)
         if self.quant is not None and not int8_fused:
             kernel = fake_quant(kernel, self.quant)
+        if int8_fused:
+            xq, xs = quantize_int8(x, self.quant)
+            wq, ws = quantize_int8(kernel, self.quant)
 
         if kind is DropoutKind.MASK:
             def init_bank() -> jax.Array:
@@ -116,8 +119,6 @@ class BayesDense(nn.Module):
                 gx = x.reshape((self.bayes.num_masks, g, in_features))
                 y = (gx * bank[:, None, :]).reshape(x.shape) @ kernel
             elif int8_fused:
-                xq, xs = quantize_int8(x, self.quant)
-                wq, ws = quantize_int8(kernel, self.quant)
                 y = bank_matmul_int8(xq, wq, bank, sample_idx, xs, ws,
                                      interpret=_use_interpret())
             elif self.fused:
@@ -132,8 +133,6 @@ class BayesDense(nn.Module):
             if int8_fused:
                 key = self.make_rng(BAYES_RNG)
                 seeds = jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
-                xq, xs = quantize_int8(x, self.quant)
-                wq, ws = quantize_int8(kernel, self.quant)
                 y = dropout_matmul_int8(xq, wq, seeds, self.bayes.rate,
                                         xs, ws, interpret=_use_interpret())
             elif self.fused:
@@ -149,8 +148,6 @@ class BayesDense(nn.Module):
                     x, sample_idx=sample_idx, train=train)
                 y = jnp.dot(xm, kernel, preferred_element_type=jnp.float32)
         elif int8_fused:
-            xq, xs = quantize_int8(x, self.quant)
-            wq, ws = quantize_int8(kernel, self.quant)
             y = dropout_matmul_int8(xq, wq, jnp.zeros((2,), jnp.int32), 0.0,
                                     xs, ws, interpret=_use_interpret())
         else:

@@ -22,7 +22,19 @@ import orbax.checkpoint as ocp
 from bayestpu.train.loop import TrainState
 
 
-def save_checkpoint(path: str, state: TrainState, key: jax.Array) -> str:
+def _default_aux(params: Any) -> dict:
+    """Loop-state aux carried by every checkpoint (uniform schema — orbax
+    restores by structure match): last completed epoch + early-stopping
+    history, so a resumed run continues the patience/best tracking instead
+    of restarting it."""
+    return {"epoch": np.asarray(-1),
+            "best_metric": np.asarray(-np.inf),
+            "since_best": np.asarray(0),
+            "best_params": params}
+
+
+def save_checkpoint(path: str, state: TrainState, key: jax.Array,
+                    aux: dict | None = None) -> str:
     """Write a full training checkpoint; returns the directory written."""
     path = os.path.abspath(path)
     payload = {
@@ -31,6 +43,7 @@ def save_checkpoint(path: str, state: TrainState, key: jax.Array) -> str:
         "opt_state": state.opt_state,
         "step": np.asarray(state.step),
         "key_data": np.asarray(jax.random.key_data(key)),
+        "aux": aux if aux is not None else _default_aux(state.params),
     }
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, payload, force=True)
@@ -38,16 +51,18 @@ def save_checkpoint(path: str, state: TrainState, key: jax.Array) -> str:
     return path
 
 
-def restore_checkpoint(path: str, template: TrainState, key: jax.Array
-                       ) -> tuple[TrainState, jax.Array]:
-    """Restore (state, key). ``template``/``key`` provide the pytree
-    structure (orbax restores by structure match)."""
+def restore_checkpoint(path: str, template: TrainState, key: jax.Array,
+                       with_aux: bool = False):
+    """Restore ``(state, key)`` — or ``(state, key, aux)`` when
+    ``with_aux``. ``template``/``key`` provide the pytree structure (orbax
+    restores by structure match)."""
     payload = {
         "params": template.params,
         "extra": template.extra,
         "opt_state": template.opt_state,
         "step": np.asarray(template.step),
         "key_data": np.asarray(jax.random.key_data(key)),
+        "aux": _default_aux(template.params),
     }
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(os.path.abspath(path), payload)
@@ -55,6 +70,8 @@ def restore_checkpoint(path: str, template: TrainState, key: jax.Array
                        opt_state=restored["opt_state"],
                        step=int(restored["step"]))
     rkey = jax.random.wrap_key_data(restored["key_data"])
+    if with_aux:
+        return state, rkey, restored["aux"]
     return state, rkey
 
 

@@ -246,6 +246,7 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
                checkpoint_dir: str | None = None,
                checkpoint_every: int = 1,
                start_epoch: int = 0,
+               best0: tuple[float, Any, int] | None = None,
                log_fn: Callable[[str], None] = print) -> TrainState:
     """Epoch driver with early stopping + best-snapshot keeping
     (``train_base.py:48-84``). ``train_batches``/``val_batches`` are
@@ -271,7 +272,9 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
     ``checkpoint_dir``: write a rolling full checkpoint (params + opt state
     + PRNG key + step) to that path every ``checkpoint_every`` epochs —
     the mid-run failure-recovery the reference lacks (SURVEY §5.3-5.4).
-    ``start_epoch`` resumes the epoch count after a restore; the per-step
+    ``start_epoch`` resumes the epoch count after a restore and ``best0 =
+    (best_metric, best_params, since_best)`` restores the early-stopping
+    history (both live in the rolling checkpoint's ``aux``); the per-step
     key folding is a pure function of ``state.step``, so a restored run
     continues bit-identically to an uninterrupted one.
     """
@@ -307,9 +310,20 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
             return
         if (epoch + 1) % checkpoint_every == 0:
             from bayestpu.train.checkpoint import save_checkpoint
-            save_checkpoint(checkpoint_dir, state, key)
+            # without validation best_params is never updated and its
+            # initial buffers get donated away by the epoch scan — the live
+            # params are the correct (and alive) thing to store
+            bp = best_params if val_batches is not None else state.params
+            save_checkpoint(checkpoint_dir, state, key,
+                            aux={"epoch": np.asarray(epoch),
+                                 "best_metric": np.asarray(best_metric),
+                                 "since_best": np.asarray(since_best),
+                                 "best_params": bp})
 
-    best_metric, best_params, since_best = -float("inf"), state.params, 0
+    if best0 is not None:
+        best_metric, best_params, since_best = best0
+    else:
+        best_metric, best_params, since_best = -float("inf"), state.params, 0
     for epoch in range(start_epoch, num_epochs):
         t0 = time.perf_counter()
         batches = list(train_batches())
@@ -374,8 +388,11 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
                 since_best += 1
                 if since_best >= patience:
                     log_fn(msg + "  (early stop)")
-                    state.params = best_params
+                    # checkpoint BEFORE swapping in best params so the
+                    # rolling state stays internally consistent (params ↔
+                    # opt_state ↔ step all from the stop epoch)
                     _maybe_checkpoint(epoch)
+                    state.params = best_params
                     return state
         log_fn(msg + f"  ({time.perf_counter() - t0:.1f}s)")
         _maybe_checkpoint(epoch)

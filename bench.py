@@ -18,7 +18,6 @@ on-device-scan temporal mode, and the XLA cost-model roofline fraction.
 from __future__ import annotations
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -34,24 +33,12 @@ WARMUP, ITERS = 3, 50
 
 
 def _latencies(fn, *args, iters=ITERS):
-    for _ in range(WARMUP):
-        jax.block_until_ready(fn(*args))
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    ts = np.asarray(ts)
-    # Pipelined per-call time: enqueue all iters async (the chip executes
-    # them back-to-back), block once, divide. On a remote chip every
-    # blocking call pays a host↔device RTT that can exceed device time by
-    # 100× and drifts with network conditions — min-of-blocking-latency is
-    # NOT immune when the RTT floor spikes. Pipelined dispatch is; it is
-    # the throughput number (and on a local chip equals min latency).
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    jax.block_until_ready(outs)
-    pipelined = (time.perf_counter() - t0) / iters
+    # blocking stats (include tunnel RTT) + RTT-immune pipelined throughput
+    # — see bench/timing.py for the methodology
+    from bench.timing import blocking_latencies_s, pipelined_s
+    ts = np.asarray(blocking_latencies_s(fn, *args, iters=iters,
+                                         warmup=WARMUP))
+    pipelined = pipelined_s(fn, *args, iters=iters, warmup=0)
     return {"p50_ms": float(np.percentile(ts, 50) * 1e3),
             "p90_ms": float(np.percentile(ts, 90) * 1e3),
             "mean_s": float(ts.mean()),

@@ -8,7 +8,6 @@ plus one compute-bound shape. Prints a JSON dict per config.
 from __future__ import annotations
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -26,15 +25,8 @@ S = 10
 
 
 def _min_ms(f, *args, iters=50):
-    """Per-call device time via pipelined dispatch: enqueue ``iters``
-    executions (async — the single TPU core runs them back-to-back), block
-    once, divide. Immune to the tunnel's per-call RTT, which can exceed
-    device time by 100× on a remote chip."""
-    jax.block_until_ready(f(*args))
-    t0 = time.perf_counter()
-    outs = [f(*args) for _ in range(iters)]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / iters * 1e3
+    from bench.timing import pipelined_s
+    return pipelined_s(f, *args, iters=iters) * 1e3
 
 
 def bench_shape(m: int, k: int, n: int) -> dict:

@@ -1,0 +1,38 @@
+"""Shared device-timing helpers for the benchmark harnesses.
+
+On a remote/tunneled chip every blocking call pays a host↔device RTT that
+can exceed device time by 100× and drifts with network conditions.
+Pipelined dispatch — enqueue ``iters`` executions async (the chip runs them
+back-to-back), block once, divide — is RTT-immune; on a local chip it
+equals min blocking latency.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+
+
+def pipelined_s(fn, *args, iters: int = 50, warmup: int = 1) -> float:
+    """Per-call device time (seconds) via pipelined dispatch."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(iters)]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / iters
+
+
+def blocking_latencies_s(fn, *args, iters: int = 50,
+                         warmup: int = 3) -> list[float]:
+    """Per-call blocking latencies (seconds) — includes the tunnel RTT;
+    useful for p50/p90 experience numbers next to ``pipelined_s``."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return ts
