@@ -92,6 +92,42 @@ def bench_config(name: str, input_shape, batch: int, fused: bool,
     return res
 
 
+def bench_train(name: str, input_shape, batch: int, n_batches: int = 16
+                ) -> dict:
+    """Training throughput (images/s) of the one-dispatch epoch scan —
+    the reference's training is keras ``fit`` on GPU
+    (``train_qkeras_mcme.py:249``); this is the same work as one epoch."""
+    import optax
+
+    from bayestpu.train.loop import create_state, make_train_epoch
+    from bench.timing import pipelined_s
+
+    model = get_model(name, bayes=BayesConfig(rate=0.25))
+    key = jax.random.key(0)
+    xs = jax.random.normal(key, (n_batches, batch) + input_shape)
+    ys = jnp.zeros((n_batches, batch), jnp.int32)
+    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.sgd(0.05, 0.9))
+    state = create_state(model, tx, key, xs[0])
+    epoch = make_train_epoch(model, tx,
+                             has_batch_stats="batch_stats" in state.extra)
+
+    # donated args: rebuild the carried state functionally each call
+    def run(params, extra, opt_state):
+        p, e, o, ms = epoch(params, extra, opt_state, xs, ys, key, 0)
+        return ms["loss"]
+
+    # fresh copies per timed call (epoch donates its inputs)
+    def timed():
+        return run(jax.tree.map(jnp.copy, state.params),
+                   jax.tree.map(jnp.copy, state.extra),
+                   jax.tree.map(jnp.copy, state.opt_state))
+
+    sec = pipelined_s(timed, iters=10)
+    return {"model": name, "batch": batch, "n_batches": n_batches,
+            "epoch_s": sec,
+            "train_images_per_s": batch * n_batches / sec}
+
+
 def main() -> None:
     details = {"device": str(jax.devices()[0]),
                "configs": []}
@@ -107,6 +143,8 @@ def main() -> None:
         bench_config("vgg11_me", (32, 32, 3), batch=128, fused=True,
                      quant=QuantConfig(total_bits=8, integer_bits=0,
                                        int8_infer=True)))
+
+    details["train"] = bench_train("vgg11_me", (32, 32, 3), batch=128)
 
     sps = flagship["spatial"]["samples_per_s"]
     base = flagship["temporal_host_loop"]["samples_per_s"]
