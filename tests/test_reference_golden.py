@@ -190,3 +190,33 @@ def test_mask_bank_properties_match_reference_generator():
     assert ours["coverage"] == refs["coverage"] == 1.0
     # overlap statistics within sampling noise of each other
     assert abs(ours["mean_pair_overlap"] - refs["mean_pair_overlap"]) < 8.0
+
+
+def test_masksembles2d_channel_masks_match_reference(key):
+    """4D (NHWC here, NCHW there) channel masking: with the reference's own
+    bank our layer reproduces torch ``Masksembles2D`` train/eval outputs
+    exactly (utils.py:112-170 — channel mask broadcast over H×W)."""
+    from bayestpu.nn.bayes import MASKS_COLLECTION, Masksembles
+
+    ref_utils = _import_ref_utils()
+    np.random.seed(13)
+    tm = ref_utils.Masksembles2D(16, 4, 2.0)
+    bank = tm.masks.detach().numpy().reshape(4, 16)   # (4, C)
+
+    layer = Masksembles(num_masks=4, scale=2.0)
+    x = np.random.default_rng(3).random((8, 5, 5, 16)).astype(np.float32)
+    x_t = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))  # NCHW for torch
+    variables = layer.init(key, jnp.asarray(x))
+    variables = {**variables, MASKS_COLLECTION: {"bank": jnp.asarray(bank)}}
+
+    ours_tr = np.asarray(layer.apply(variables, jnp.asarray(x), train=True))
+    tm.train()
+    ref_tr = tm(x_t).detach().numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours_tr, ref_tr, rtol=1e-6)
+
+    tm.eval()
+    for i in range(4):
+        ref_ev = tm(x_t).detach().numpy().transpose(0, 2, 3, 1)
+        ours_ev = np.asarray(layer.apply(
+            variables, jnp.asarray(x), sample_idx=i, train=False))
+        np.testing.assert_allclose(ours_ev, ref_ev, rtol=1e-6)
