@@ -121,3 +121,22 @@ def test_train_cli_rundb(tmp_path):
     cfg = json.loads((rd / "config.json").read_text())
     assert cfg["name"].startswith("me_mc_droprate")
     assert (rd / "metrics.jsonl").exists() and (rd / "log.txt").exists()
+
+
+def test_train_cli_sharded_and_resume(tmp_path):
+    """Data-parallel training over the 8-device virtual mesh through the CLI
+    surface (P8), then --resume continues from the rolling checkpoint."""
+    out = str(tmp_path / "ckpt")
+    res = cli_train.main([
+        "--model", "lenet", "--dataset", "mnist", "--dropout_type", "mc",
+        "--mc_samples", "2", "--epochs", "1", "--batch_size", "64",
+        "--opt_mode", "sharded", "--out", out,
+        "--data_dir", "/nonexistent"])
+    assert 0.0 <= res["acc"] <= 1.0
+    assert os.path.isdir(out + "_last"), "rolling checkpoint missing"
+    res2 = cli_train.main([
+        "--model", "lenet", "--dataset", "mnist", "--dropout_type", "mc",
+        "--mc_samples", "2", "--epochs", "2", "--batch_size", "64",
+        "--opt_mode", "sharded", "--out", out, "--resume",
+        "--data_dir", "/nonexistent"])
+    assert 0.0 <= res2["acc"] <= 1.0
