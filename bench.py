@@ -144,6 +144,11 @@ def main() -> None:
                      quant=QuantConfig(total_bits=8, integer_bits=0,
                                        int8_infer=True)))
 
+    # single-input MC latency — the FPGA papers' own headline is latency
+    # per inference (all MC samples of one input); batch=1, S=10
+    details["configs"].append(
+        bench_config("vgg11_me", (32, 32, 3), batch=1, fused=True))
+
     details["train"] = bench_train("vgg11_me", (32, 32, 3), batch=128)
 
     sps = flagship["spatial"]["samples_per_s"]

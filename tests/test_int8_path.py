@@ -46,3 +46,36 @@ def test_int8_requires_8_bits():
     from bayestpu.core.quant import quantize_int8
     with pytest.raises(ValueError):
         quantize_int8(jnp.zeros(4), QuantConfig(total_bits=4))
+
+
+def test_model_level_int8_fused_agrees_with_fake_quant(key):
+    """End-to-end: the fully-fused int8 inference path and the fake-quant
+    float path agree on predictions (same ap_fixed grid, different
+    arithmetic order) — the model-level analogue of the reference's
+    keras-vs-HLS accuracy comparison (hls4ml_pred.py:114-119)."""
+    import jax
+    import numpy as np
+
+    from bayestpu.core.config import BayesConfig
+    from bayestpu.core.rng import BAYES_RNG
+    from bayestpu.nn.zoo import get_model
+
+    cfg = QuantConfig(total_bits=8, integer_bits=0)
+    cfg_i8 = QuantConfig(total_bits=8, integer_bits=0, int8_infer=True)
+    bayes = BayesConfig(kind="mask", num_masks=4, scale=2.0)
+    x = jax.random.normal(key, (16, 28, 28, 1)) * 0.5
+
+    m_fq = get_model("lenet", bayes=bayes, quant=cfg, fused=False)
+    m_i8 = get_model("lenet", bayes=bayes, quant=cfg_i8, fused=True)
+    vs = m_fq.init({"params": key, BAYES_RNG: key}, x)
+
+    for i in range(4):
+        out_fq = m_fq.apply(vs, x, sample_idx=i, train=False,
+                            rngs={BAYES_RNG: key}).logits
+        out_i8 = m_i8.apply(vs, x, sample_idx=i, train=False,
+                            rngs={BAYES_RNG: key}).logits
+        a = np.asarray(out_fq[-1]).argmax(-1)
+        b = np.asarray(out_i8[-1]).argmax(-1)
+        # same mask bank + same quant grid → identical top-1 on almost all
+        # inputs; allow 1/16 flip from accumulation-order ties
+        assert (a == b).mean() >= 15 / 16, (a, b)
