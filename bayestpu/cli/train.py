@@ -143,7 +143,10 @@ def main(argv=None) -> dict:
         patience=recipe.patience, has_batch_stats=has_bn,
         val_mode=a.val_mode, augment_fn=augment_fn, mesh=mesh,
         checkpoint_dir=resume_path, checkpoint_every=a.checkpoint_every,
-        start_epoch=start_epoch, best0=best0, log_fn=log_fn)
+        start_epoch=start_epoch, best0=best0,
+        plateau_factor=(recipe.plateau_factor
+                        if recipe.scheduler == "plateau" else None),
+        plateau_patience=recipe.plateau_patience, log_fn=log_fn)
 
     ckpt = save_checkpoint(a.out, state, key)
     eng = BayesEngine(model, common.bayes_from_args(a),

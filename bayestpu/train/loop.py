@@ -85,13 +85,17 @@ def make_train_step(model, tx: optax.GradientTransformation,
         return loss, (out.logits, updates)
 
     @jax.jit
-    def train_step(params, extra, opt_state, x, y, key, step_i=0):
+    def train_step(params, extra, opt_state, x, y, key, step_i=0,
+                   lr_scale=1.0):
         # step folding happens IN-jit: an eager fold_in per step would cost
         # one dispatch round-trip each on a remote chip
         key = jax.random.fold_in(key, step_i)
         (loss, (logits, updates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, extra, x, y, key)
         upd, opt_state = tx.update(grads, opt_state, params)
+        # runtime LR multiplier (ReduceLROnPlateau support — the update is
+        # linear in lr for SGD/momentum and adam alike)
+        upd = jax.tree.map(lambda u: u * lr_scale, upd)
         params = optax.apply_updates(params, upd)
         if updates:
             extra = {**extra, **updates}
@@ -136,7 +140,8 @@ def make_train_epoch(model, tx: optax.GradientTransformation,
         return loss, (out.logits, updates)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_epoch(params, extra, opt_state, xs, ys, key, step0=0):
+    def train_epoch(params, extra, opt_state, xs, ys, key, step0=0,
+                    lr_scale=1.0):
         n = xs.shape[0]
 
         def body(carry, batch):
@@ -148,6 +153,7 @@ def make_train_epoch(model, tx: optax.GradientTransformation,
             (loss, (logits, updates)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, extra, x, y, k)
             upd, opt_state = tx.update(grads, opt_state, params)
+            upd = jax.tree.map(lambda u: u * lr_scale, upd)
             params = optax.apply_updates(params, upd)
             if updates:
                 extra = {**extra, **updates}
@@ -247,6 +253,8 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
                checkpoint_every: int = 1,
                start_epoch: int = 0,
                best0: tuple[float, Any, int] | None = None,
+               plateau_factor: float | None = None,
+               plateau_patience: int = 10,
                log_fn: Callable[[str], None] = print) -> TrainState:
     """Epoch driver with early stopping + best-snapshot keeping
     (``train_base.py:48-84``). ``train_batches``/``val_batches`` are
@@ -272,6 +280,12 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
     ``checkpoint_dir``: write a rolling full checkpoint (params + opt state
     + PRNG key + step) to that path every ``checkpoint_every`` epochs —
     the mid-run failure-recovery the reference lacks (SURVEY §5.3-5.4).
+    ``plateau_factor``: ReduceLROnPlateau semantics (``train_base.py:79-82``
+    steps torch's scheduler with the val metric) — when the val metric has
+    not improved for ``plateau_patience`` epochs, multiply the effective LR
+    by ``plateau_factor``. Implemented as a traced update-scale so no
+    recompile happens when it kicks in.
+
     ``start_epoch`` resumes the epoch count after a restore and ``best0 =
     (best_metric, best_params, since_best)`` restores the early-stopping
     history (both live in the rolling checkpoint's ``aux``); the per-step
@@ -324,6 +338,7 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
         best_metric, best_params, since_best = best0
     else:
         best_metric, best_params, since_best = -float("inf"), state.params, 0
+    lr_scale, since_plateau = jnp.float32(1.0), 0
     for epoch in range(start_epoch, num_epochs):
         t0 = time.perf_counter()
         batches = list(train_batches())
@@ -333,7 +348,7 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
             xs, ys = _shard(xs, ys, stacked=True)
             state.params, state.extra, state.opt_state, ms = train_epoch(
                 state.params, state.extra, state.opt_state, xs, ys, key,
-                state.step)
+                state.step, lr_scale)
             state.step += len(batches)
             ep_loss = float(ms["loss"])
         else:
@@ -346,7 +361,7 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
                                     state.step)
                 state.params, state.extra, state.opt_state, m = train_step(
                     state.params, state.extra, state.opt_state,
-                    xd, yd, key, state.step)
+                    xd, yd, key, state.step, lr_scale)
                 state.step += 1
                 loss_sum = (m["loss"] if loss_sum is None
                             else loss_sum + m["loss"])
@@ -384,8 +399,15 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
                 # which would invalidate a bare reference kept across epochs
                 best_params = jax.tree.map(jnp.copy, state.params)
                 best_metric, since_best = val_acc, 0
+                since_plateau = 0
             else:
                 since_best += 1
+                since_plateau += 1
+                if (plateau_factor is not None
+                        and since_plateau >= plateau_patience):
+                    lr_scale = lr_scale * jnp.float32(plateau_factor)
+                    since_plateau = 0
+                    log_fn(f"  plateau: lr scale → {float(lr_scale):.2e}")
                 if since_best >= patience:
                     log_fn(msg + "  (early stop)")
                     # checkpoint BEFORE swapping in best params so the

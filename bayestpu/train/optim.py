@@ -30,10 +30,12 @@ class TrainRecipe:
     lr: float = 0.1
     momentum: float = 0.9
     weight_decay: float = 5e-4
-    scheduler: str = "multistep"     # multistep | cosine | constant
+    scheduler: str = "multistep"     # multistep | cosine | constant | plateau
     milestones: tuple[int, ...] = (75, 130, 180)
     gamma: float = 0.1
     t_max: int = 200                 # cosine period (epochs)
+    plateau_factor: float = 0.1      # plateau: LR × factor after
+    plateau_patience: int = 10       # ... this many non-improving epochs
     epochs: int = 200
     batch_size: int = 128
     test_batch_size: int = 250
@@ -65,6 +67,11 @@ def get_schedule(recipe: TrainRecipe, steps_per_epoch: int
         return optax.cosine_decay_schedule(
             recipe.lr, recipe.t_max * steps_per_epoch)
     if recipe.scheduler == "constant":
+        return optax.constant_schedule(recipe.lr)
+    if recipe.scheduler == "plateau":
+        # base schedule is constant; the val-driven LR reduction lives in
+        # ``train_loop(plateau_factor=..)`` (≙ ReduceLROnPlateau stepping,
+        # train_base.py:79-82)
         return optax.constant_schedule(recipe.lr)
     raise ValueError(f"unknown scheduler {recipe.scheduler!r}")
 
