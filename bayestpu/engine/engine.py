@@ -103,12 +103,30 @@ class BayesEngine:
     # ------------------------------------------------------------ inference
 
     def predict(self, x: jax.Array, key: jax.Array | None = None,
-                num_samples: int | None = None) -> Predictive:
+                num_samples: int | None = None,
+                sample_idx: int | None = None) -> Predictive | jax.Array:
         """MC-averaged predictive distribution (≙ ``predict_hls``,
-        ``nn2bnn.py:187-191``; per-mask loop of ``hls4ml_pred.py:106-110``)."""
+        ``nn2bnn.py:187-191``; per-mask loop of ``hls4ml_pred.py:106-110``).
+
+        ``sample_idx``: run ONE sample/mask instead — the fork's
+        ``hls_model.predict(x, mask_index=i)`` — returning per-exit softmax
+        probs (E, B, C)."""
         if self.variables is None:
             raise RuntimeError("engine not initialized: call init()/attach()")
         key = key if key is not None else jax.random.key(0)
+        if sample_idx is not None:
+            cache_key = ("one_sample",)
+            if cache_key not in self._jitted:
+                def one(variables, x, key, i):
+                    # same fold as core.rng.sample_keys → sample i here is
+                    # bit-identical to sample i of predict()'s MC average
+                    k = jax.random.fold_in(key, i.astype(jnp.uint32))
+                    out = self.model.apply(variables, x, sample_idx=i,
+                                           train=False, rngs={BAYES_RNG: k})
+                    return jax.nn.softmax(out.logits, axis=-1)
+                self._jitted[cache_key] = jax.jit(one)
+            return self._jitted[cache_key](self.variables, x, key,
+                                           jnp.int32(sample_idx))
         s = sampler.num_effective_samples(self.bayes, num_samples)
         if self.mesh is not None:
             return sharding.sharded_predictive(

@@ -98,3 +98,21 @@ def test_evaluate_repeated_mean_std(tmp_path, key):
     assert "aPE" in out
     with open(log) as f:
         assert "acc:" in f.read()
+
+
+def test_predict_sample_idx_matches_mc_average(key):
+    """engine.predict(x, sample_idx=i) ≙ hls predict(x, mask_index=i):
+    averaging the per-index predictions reproduces predict()'s MC mean."""
+    from bayestpu.core.config import BayesConfig
+    from bayestpu.nn.zoo import get_model
+
+    bayes = BayesConfig(kind="mask", num_masks=4, scale=2.0)
+    model = get_model("lenet", bayes=bayes)
+    x = jax.random.normal(key, (8, 28, 28, 1))
+    eng = BayesEngine(model, bayes).init(key, x)
+
+    per_idx = [np.asarray(eng.predict(x, key=key, sample_idx=i))
+               for i in range(4)]
+    avg = np.mean(per_idx, axis=0)
+    full = np.asarray(eng.predict(x, key=key).probs)
+    np.testing.assert_allclose(avg, full, rtol=1e-5, atol=1e-6)
