@@ -137,3 +137,49 @@ class BatchPipeline:
                                 use_native=self.use_native)
             yield xb, self.y[idx]
         self._epoch += 1
+
+
+class PrefetchIterator:
+    """Overlap host batch assembly + H2D transfer with device compute.
+
+    Wraps any (x, y) batch iterator: a worker thread runs the underlying
+    iterator (native gather/augment) and eagerly ``jax.device_put``s the
+    next ``depth`` batches while the device is busy with the current step —
+    the host never sits on the critical path. The reference gets this from
+    torch ``DataLoader(num_workers=…)`` prefetching
+    (``dataset_loader.py:160-172``); this is the JAX-native equivalent.
+    """
+
+    def __init__(self, it, depth: int = 2, device=None):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=depth)
+        self._sentinel = object()
+        self._err = None
+
+        def work():
+            import jax
+            try:
+                for x, y in it:
+                    self._q.put((jax.device_put(x, device),
+                                 jax.device_put(y, device)))
+            except BaseException as e:  # surfaced on the consumer side
+                self._err = e
+            finally:
+                self._q.put(self._sentinel)
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._sentinel:
+            self._thread.join()
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item

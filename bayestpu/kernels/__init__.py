@@ -1,1 +1,11 @@
 from bayestpu.kernels import mask_bank  # noqa: F401
+from bayestpu.kernels.masked_matmul import (  # noqa: F401
+    bank_matmul,
+    bank_matmul_inference,
+    bank_matmul_int8,
+    bank_matmul_samples,
+    dropout_matmul,
+    dropout_matmul_inference,
+    dropout_matmul_int8,
+    dropout_matmul_samples,
+)

@@ -72,3 +72,35 @@ def test_imagenet_chestx_stubs():
         assert ds.meta["num_classes"] == classes
         assert ds.x_train.shape[0] <= 512  # capped synth size
         assert ds.y_train.max() < classes
+
+
+def test_prefetch_iterator_matches_plain_iteration():
+    import numpy as np
+
+    from bayestpu.data.pipeline import BatchPipeline, PrefetchIterator
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(64, 8, 8, 1)).astype(np.float32)
+    y = rng.integers(0, 10, size=64).astype(np.int32)
+    plain = list(BatchPipeline(x, y, 16, pad=0, train=True, seed=3))
+    pre = list(PrefetchIterator(iter(
+        BatchPipeline(x, y, 16, pad=0, train=True, seed=3))))
+    assert len(plain) == len(pre) == 4
+    for (xa, ya), (xb, yb) in zip(plain, pre):
+        np.testing.assert_array_equal(xa, np.asarray(xb))
+        np.testing.assert_array_equal(ya, np.asarray(yb))
+
+
+def test_prefetch_iterator_propagates_errors():
+    import pytest
+
+    from bayestpu.data.pipeline import PrefetchIterator
+
+    def bad():
+        yield (1, 2)
+        raise RuntimeError("boom")
+
+    it = PrefetchIterator(bad())
+    next(it)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)
