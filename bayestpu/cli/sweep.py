@@ -85,6 +85,13 @@ def main(argv=None) -> dict:
     p.add_argument("--model", default="lenet",
                    help="zoo model for the `samples` sweep")
     p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--dropout_type", default="mc", choices=["mc", "mask"],
+                   help="`samples` sweep: MC dropout or Masksembles "
+                        "(≙ the mc_dropout/ vs mask_ensemble/ script trees)")
+    p.add_argument("--modes", nargs="*", default=["spatial", "temporal"],
+                   choices=["spatial", "temporal"],
+                   help="`samples` sweep mappings (≙ Strategy "
+                        "latency/resource)")
     p.add_argument("--out", default="sweeps")
     a = p.parse_args(argv)
 
@@ -110,11 +117,17 @@ def main(argv=None) -> dict:
             cfg = BayesConfig(kind=DropoutKind.MASK, num_masks=4, scale=s,
                               num_bayes_layers=1)
             rows.append({"scale": s, **_point(cfg)})
-    else:  # samples — lat_resource_eval matrix (mc × mapping × model)
+    else:  # samples — lat_resource_eval matrix (mc|mask × mapping × model)
         values = [int(v) for v in (a.values or [2, 3, 5, 7, 9])]
         for s in values:
-            cfg = BayesConfig(kind=DropoutKind.MC, rate=0.25, num_samples=s)
-            for mode in (SamplingMode.SPATIAL, SamplingMode.TEMPORAL):
+            if a.dropout_type == "mask":
+                # mask_ensemble scripts sweep the #masks (= #samples)
+                cfg = BayesConfig(kind=DropoutKind.MASK, num_masks=s,
+                                  scale=2.0, num_samples=s)
+            else:
+                cfg = BayesConfig(kind=DropoutKind.MC, rate=0.25,
+                                  num_samples=s)
+            for mode in (SamplingMode(m) for m in a.modes):
                 rows.append({"mc_samples": s, "mode": mode.value,
                              **_model_point(a.model, cfg, mode, a.batch,
                                             iters=10)})

@@ -1,0 +1,7 @@
+#!/bin/bash
+# ≙ scripts/lat_resource_eval/mnist_lenet/mc_dropout/cost_of_resource_*: mc_samples
+# sweep {2,3,5,7,9} under Strategy=Resource — here the temporal mapping
+# (lax.scan time-multiplexes one set of head hardware ≙ ReuseFactor).
+set -e
+python -m bayestpu.cli.sweep samples --model lenet --values 2 3 5 7 9 \
+  --modes temporal --out "${OUT:-sweeps/mnist_lenet/mc_dropout_resource}"

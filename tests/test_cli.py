@@ -140,3 +140,33 @@ def test_train_cli_sharded_and_resume(tmp_path):
         "--opt_mode", "sharded", "--out", out, "--resume",
         "--data_dir", "/nonexistent"])
     assert 0.0 <= res2["acc"] <= 1.0
+
+
+def test_build_cli(trained, tmp_path):
+    from bayestpu.cli import build as cli_build
+    out, _ = trained
+    prj = str(tmp_path / "prj")
+    res = cli_build.main([
+        "--model", "lenet_me", "--dataset", "mnist",
+        "--dropout_type", "mc", "--mc_samples", "3",
+        "--load_model", out, "--batch", "32",
+        "--build_strategy", "latency", "--output_dir", prj,
+        "--data_dir", "/nonexistent"])
+    assert res["strategy_mode"] == "spatial"
+    assert res["compile_seconds"] > 0 and res["flops"]
+    assert os.path.exists(os.path.join(prj, "build_report.json"))
+
+
+def test_build_cli_mem_limit_degrades(trained, tmp_path):
+    from bayestpu.cli import build as cli_build
+    out, _ = trained
+    res = cli_build.main([
+        "--model", "lenet_me", "--dataset", "mnist",
+        "--dropout_type", "mc", "--mc_samples", "3",
+        "--load_model", out, "--batch", "32",
+        "--build_strategy", "latency", "--mem_limit", "1",
+        "--output_dir", str(tmp_path / "prj2"),
+        "--data_dir", "/nonexistent"])
+    # 1-byte budget forces the temporal (resource) rebuild
+    assert res["degraded_to_resource"] is True
+    assert res["strategy_mode"] == "temporal"
