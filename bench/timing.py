@@ -14,14 +14,23 @@ import time
 import jax
 
 
-def pipelined_s(fn, *args, iters: int = 50, warmup: int = 1) -> float:
-    """Per-call device time (seconds) via pipelined dispatch."""
+def pipelined_s(fn, *args, iters: int = 50, warmup: int = 1,
+                repeats: int = 3) -> float:
+    """Per-call device time (seconds) via pipelined dispatch.
+
+    Best of ``repeats`` measurements: host-side dispatch jitter (python
+    enqueue cost under varying load) can starve the device mid-window, so
+    single windows over-read by up to ~2×; the minimum is the stable
+    chip-speed figure."""
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(iters)]
+        jax.block_until_ready(outs)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def blocking_latencies_s(fn, *args, iters: int = 50,

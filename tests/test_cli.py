@@ -170,3 +170,14 @@ def test_build_cli_mem_limit_degrades(trained, tmp_path):
     # 1-byte budget forces the temporal (resource) rebuild
     assert res["degraded_to_resource"] is True
     assert res["strategy_mode"] == "temporal"
+
+
+def test_driver_scripts_parse():
+    # every experiment driver must at least be valid bash (≙ the reference's
+    # ~60 script tree, SURVEY §2.8)
+    import glob
+    import subprocess
+    scripts = glob.glob("scripts/**/*.sh", recursive=True)
+    assert len(scripts) >= 30
+    for s in scripts:
+        subprocess.run(["bash", "-n", s], check=True)
