@@ -46,6 +46,12 @@ def main(argv=None) -> dict:
                       ds.x_test[:a.eval_images], ds.y_test[:a.eval_images],
                       mc_passes=a.mc_samples, model_type=a.model_type)
     summary = fa.save(a.out, a.experiment_id)
+    # validation artifact (≙ save_validation, results_analyzer.py:218-223)
+    from bayestpu.data.datasets import train_val_split
+    _, x_val, y_val = train_val_split(ds, 0.1, a.seed)
+    summary["validation_npy"] = fa.save_validation(
+        a.out, x_val[:a.eval_images], y_val[:a.eval_images],
+        a.experiment_id)
     summary["early_exit"] = fa.confidence_exiting_table()
     if a.multipass:
         summary["multipass"] = fa.multipass_experiment()

@@ -15,6 +15,31 @@ import json
 import os
 
 
+def loss_curve(train_losses, val_metrics, path: str) -> str:
+    """Loss-curve figure ≙ ``Software_Artifact/software/train/
+    train_utils.py:87-92`` (``plot_loss``: scatter of train and val series
+    saved as ``loss_curve_<id>.png``)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.scatter(range(len(train_losses)), train_losses, s=12, zorder=1,
+               label="train loss")
+    if val_metrics:
+        ax2 = ax.twinx()
+        ax2.scatter(range(len(val_metrics)), val_metrics, s=12, zorder=10,
+                    color="tab:orange", label="val metric")
+        ax2.set_ylabel("val metric")
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("train loss")
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+    return path
+
+
 def main(argv=None) -> list[str]:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("sweep_json")

@@ -111,9 +111,10 @@ def main(argv=None) -> dict:
                       if a.augment else None)
 
         def train_batches():
+            # consumed once: train_loop caches the stacked arrays on device
+            # and reshuffles there each epoch (reshuffle=True below)
             return iterate_batches(ds.x_train, ds.y_train,
-                                   recipe.batch_size,
-                                   seed=a.seed + state.step)
+                                   recipe.batch_size, seed=a.seed)
 
     def val_batches():
         return iterate_batches(x_val, y_val, recipe.test_batch_size,
@@ -136,6 +137,7 @@ def main(argv=None) -> dict:
         mesh = _sh.make_mesh(len(jax.devices()), 1)
         log_fn(f"data-parallel training over {mesh}")
 
+    history: dict = {}
     state = train_loop(
         model, state, tx, train_batches, key, recipe.epochs,
         val_batches=val_batches,
@@ -146,13 +148,23 @@ def main(argv=None) -> dict:
         start_epoch=start_epoch, best0=best0,
         plateau_factor=(recipe.plateau_factor
                         if recipe.scheduler == "plateau" else None),
-        plateau_patience=recipe.plateau_patience, log_fn=log_fn)
+        plateau_patience=recipe.plateau_patience,
+        reshuffle=(a.pipeline == "device"), history=history, log_fn=log_fn)
 
     ckpt = save_checkpoint(a.out, state, key)
+    loss_fig = None
+    if history.get("train_loss"):
+        from bayestpu.cli.figures import loss_curve
+        loss_fig = loss_curve(history["train_loss"],
+                              history.get("val_metric", []),
+                              a.out.rstrip("/") + "_loss_curve.png")
     eng = BayesEngine(model, common.bayes_from_args(a),
                       common.engine_from_args(a)).attach(state.variables())
+    from bayestpu.metrics.entropy import NOISE_STATS
     mets = eng.evaluate(jnp.asarray(ds.x_test[:1000]),
-                        jnp.asarray(ds.y_test[:1000]), ood_check=True)
+                        jnp.asarray(ds.y_test[:1000]), ood_check=True,
+                        dataset=(a.dataset if a.dataset in NOISE_STATS
+                                 else None))
     result = {"checkpoint": ckpt, "synthetic": ds.meta["synthetic"], **mets}
     if run is not None:
         run.log_metrics(state.step, **{k: v for k, v in mets.items()

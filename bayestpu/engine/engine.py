@@ -32,7 +32,11 @@ from bayestpu.core.rng import BAYES_RNG
 from bayestpu.engine import sampler, sharding
 from bayestpu.engine.sampler import Predictive
 from bayestpu.metrics.ece import eval_metrics
-from bayestpu.metrics.entropy import mean_predictive_entropy, random_noise_like
+from bayestpu.metrics.entropy import (
+    mean_predictive_entropy,
+    random_noise_data,
+    random_noise_like,
+)
 
 
 def _fetch_scalars(d: dict) -> dict:
@@ -169,20 +173,30 @@ class BayesEngine:
         self._jitted[cache_key] = jax.jit(battery)
         return self._jitted[cache_key]
 
-    def _noise_for(self, x: jax.Array) -> jax.Array:
+    def _noise_for(self, x: jax.Array, dataset: str | None = None
+                   ) -> jax.Array:
+        """OOD probe inputs. With ``dataset`` given, uses the reference's
+        FIXED per-dataset stats (``data_utils.py:66-89``) — the
+        protocol-comparable path; without, falls back to batch moments
+        (synthetic/unknown data only)."""
+        if dataset is not None:
+            return random_noise_data(jax.random.key(99), dataset, x.shape)
         mean, std = jnp.mean(x), jnp.std(x)  # stays on device
         return random_noise_like(jax.random.key(99), x.shape, mean, std)
 
     def evaluate(self, x: jax.Array, y: jax.Array,
                  key: jax.Array | None = None,
                  num_samples: int | None = None,
-                 ood_check: bool = False) -> dict:
+                 ood_check: bool = False,
+                 dataset: str | None = None) -> dict:
         """Full metric battery on the MC-averaged prediction — the
         acceptance test of the flow (≙ ``hls4ml_pred.py:89-119`` printing
-        Keras-vs-HLS acc/ECE/aPE). Metrics are per final exit."""
+        Keras-vs-HLS acc/ECE/aPE). Metrics are per final exit.
+        ``dataset`` names the benchmark so aPE_ood uses its fixed noise
+        stats (the reference protocol)."""
         key = key if key is not None else jax.random.key(0)
         s = sampler.num_effective_samples(self.bayes, num_samples)
-        noise = self._noise_for(x) if ood_check else jnp.zeros((1,))
+        noise = self._noise_for(x, dataset) if ood_check else jnp.zeros((1,))
         fn = self._battery_fn(s, ood_check)
         return _fetch_scalars(fn(self.variables, x, y, key, noise))
 
@@ -191,14 +205,18 @@ class BayesEngine:
                           key: jax.Array | None = None,
                           num_samples: int | None = None,
                           ood_check: bool = False,
-                          log_path: str | None = None) -> dict:
+                          log_path: str | None = None,
+                          dataset: str | None = None) -> dict:
         """Mean ± std of the battery over ``passes`` independent keys (≙
         ``Software_Artifact/software/train/evaluate.py:8-31``:
         ``mc_dropout_passes`` full passes, averaged, dumped to
-        ``log_<id>.txt``). All passes run in ONE vmapped dispatch."""
+        ``log_<id>.txt``). All passes run in ONE dispatch, sequenced with
+        ``lax.map`` so activation memory stays that of a single pass (a
+        vmap here would scale VMEM/HBM by ``passes`` — ruinous at the
+        reference's 49-pass sweep on a real test set)."""
         key = key if key is not None else jax.random.key(0)
         s = sampler.num_effective_samples(self.bayes, num_samples)
-        noise = self._noise_for(x) if ood_check else jnp.zeros((1,))
+        noise = self._noise_for(x, dataset) if ood_check else jnp.zeros((1,))
         battery = self._battery_fn(s, ood_check)
 
         cache_key = ("battery_rep", s, ood_check, self.config.mode, passes)
@@ -206,8 +224,8 @@ class BayesEngine:
             def repeated(variables, x, y, k, noise):
                 keys = jax.vmap(lambda p: jax.random.fold_in(k, p))(
                     jnp.arange(passes, dtype=jnp.uint32))
-                ms = jax.vmap(
-                    lambda kk: battery(variables, x, y, kk, noise))(keys)
+                ms = jax.lax.map(
+                    lambda kk: battery(variables, x, y, kk, noise), keys)
                 out = {}
                 for name, v in ms.items():
                     out[name] = jnp.mean(v)

@@ -107,27 +107,48 @@ class FullAnalysis:
             lambda vs, x, k, i, s: sampler.predictive(
                 self.model, vs, x, jax.random.fold_in(k, i), s).probs,
             static_argnums=4)
+        # per-sample probs (softmax per pass, not averaged) — the multipass
+        # sweep's raw material
+        self._sample_fn = jax.jit(
+            lambda vs, x, k, i, s: jax.nn.softmax(sampler.mc_logits(
+                self.model, vs, x, jax.random.fold_in(k, i), s), axis=-1),
+            static_argnums=4)
+        self._sample_cache: tuple[int, np.ndarray] | None = None
 
     # ------------------------------------------------------------- capture
 
-    def collect(self, mc_passes: int | None = None) -> np.ndarray:
-        """(E, N, C) MC-averaged per-exit probs (``_get_output`` semantics:
-        average of softmax over passes)."""
-        s = mc_passes or self.mc_passes
+    def _batched(self, fn, s: int, axis: int) -> np.ndarray:
         chunks = []
         n = self.x.shape[0]
         bs = self.batch_size
         n_full = n - n % bs
         for i in range(0, n_full, bs):
             chunks.append(np.asarray(
-                self._pred_fn(self.variables, jnp.asarray(self.x[i:i + bs]),
-                              self.key, i, s)))
+                fn(self.variables, jnp.asarray(self.x[i:i + bs]),
+                   self.key, i, s)))
         if n_full < n:  # remainder batch (recompiles once; fine host-side)
             chunks.append(np.asarray(
-                self._pred_fn(self.variables,
-                              jnp.asarray(self.x[n_full:]), self.key,
-                              n_full, s)))
-        return np.concatenate(chunks, axis=1)
+                fn(self.variables, jnp.asarray(self.x[n_full:]), self.key,
+                   n_full, s)))
+        return np.concatenate(chunks, axis=axis)
+
+    def collect(self, mc_passes: int | None = None) -> np.ndarray:
+        """(E, N, C) MC-averaged per-exit probs (``_get_output`` semantics:
+        average of softmax over passes)."""
+        return self._batched(self._pred_fn, mc_passes or self.mc_passes,
+                             axis=1)
+
+    def collect_samples(self, mc_passes: int) -> np.ndarray:
+        """(S, E, N, C) per-pass softmax probs — collected ONCE so the
+        multipass sweep can prefix-average instead of recomputing (the
+        reference also stores predictions and reuses them across pass
+        counts, ``results_analyzer.py:73-92``)."""
+        if (self._sample_cache is not None
+                and self._sample_cache[0] >= mc_passes):
+            return self._sample_cache[1][:mc_passes]
+        out = self._batched(self._sample_fn, mc_passes, axis=2)
+        self._sample_cache = (mc_passes, out)
+        return out
 
     # ------------------------------------------------------------ analysis
 
@@ -145,19 +166,30 @@ class FullAnalysis:
             mc_passes=mc_passes or self.mc_passes)
 
     def multipass_experiment(self, passes=range(1, 50)) -> dict:
-        """Accuracy/ECE vs number of MC passes (``:73-92``)."""
+        """Accuracy/ECE vs number of MC passes (``:73-92``).
+
+        Collects ``max(passes)`` per-pass probs ONCE and prefix-averages:
+        pass count p uses MC samples 0..p-1 (sample i's key is a pure
+        function of i — ``core.rng.sample_keys`` — so the prefix mean is
+        exactly what a fresh p-pass run computes). O(S) forwards instead of
+        O(ΣS)=O(S²)."""
+        passes = list(passes)
+        samples = self.collect_samples(max(passes))       # (S, E, N, C)
+        csum = np.cumsum(samples, axis=0)                 # prefix sums
         out = {"passes": [], "acc": [], "ens_acc": [], "ece": [],
                "ens_ece": []}
         for p in passes:
-            rep = self.run(mc_passes=p)
+            preds = csum[p - 1] / p                       # (E, N, C)
+            ens = (np.cumsum(preds, axis=0)
+                   / np.arange(1, preds.shape[0] + 1)[:, None, None])
+            rows = _set_report(preds, self.y, use_kde=False)
+            ens_rows = _set_report(ens, self.y, use_kde=False)
             out["passes"].append(p)
-            out["acc"].append(float(np.mean([r.acc for r in rep.exits])))
-            out["ens_acc"].append(float(np.mean(
-                [r.acc for r in rep.ensemble])))
-            out["ece"].append(float(np.mean(
-                [r.ece_hist for r in rep.exits])))
+            out["acc"].append(float(np.mean([r.acc for r in rows])))
+            out["ens_acc"].append(float(np.mean([r.acc for r in ens_rows])))
+            out["ece"].append(float(np.mean([r.ece_hist for r in rows])))
             out["ens_ece"].append(float(np.mean(
-                [r.ece_hist for r in rep.ensemble])))
+                [r.ece_hist for r in ens_rows])))
         return out
 
     def confidence_exiting_table(self, thresholds=REFERENCE_THRESHOLDS,
@@ -187,6 +219,31 @@ class FullAnalysis:
         return rows
 
     # ------------------------------------------------------------- output
+
+    def save_validation(self, outdir: str, x_val, y_val,
+                        experiment_id: str = "0") -> str:
+        """``validation_predictions_<id>.npy`` — the reference's validation
+        artifact (``results_analyzer.py:218-223``): three consecutive
+        ``np.save`` records into ONE file — per-exit MC preds (E, N, C),
+        cumulative exit-ensemble preds (E, N, C), one-hot labels (N, C)."""
+        os.makedirs(outdir, exist_ok=True)
+        sub = FullAnalysis(self.model, self.variables, x_val, y_val,
+                           mc_passes=self.mc_passes,
+                           batch_size=self.batch_size, key=self.key,
+                           use_kde=False, model_type=self.model_type)
+        preds = sub.collect()
+        ens = (np.cumsum(preds, axis=0)
+               / np.arange(1, preds.shape[0] + 1)[:, None, None])
+        labels = np.asarray(y_val)
+        onehot = np.zeros((labels.shape[0], preds.shape[-1]), np.float32)
+        onehot[np.arange(labels.shape[0]), labels] = 1.0
+        path = os.path.join(outdir,
+                            f"validation_predictions_{experiment_id}.npy")
+        with open(path, "wb") as f:
+            np.save(f, preds)
+            np.save(f, ens)
+            np.save(f, onehot)
+        return path
 
     def save(self, outdir: str, experiment_id: str = "0") -> dict:
         """Write the reference's artifact set: CSV-style evaluation log +

@@ -110,10 +110,15 @@ def ece_kde(probs: np.ndarray, labels: np.ndarray, order: int = 1,
         accu = np.minimum(perc * pp1 / pp2, 1.0)
     valid = (np.maximum(pp1, pp2) > 1e-6) & ~np.isnan(accu)
     integral[valid] = (np.abs(x_int - accu) ** order * pp2)[valid]
-    # forward-fill where both densities vanish (reference :437-439)
-    for i in range(2, len(x_int)):
-        if not valid[i] and integral[i] == 0.0:
-            integral[i] = integral[i - 1]
+    # forward-fill where both densities vanish (reference :437-439).
+    # Vectorized last-valid-carry: invalid positions always hold 0 (only
+    # valid ones were written above), so each index i≥2 takes the value at
+    # the most recent source index ≤ i, where sources are the valid
+    # positions plus {0, 1} (the loop starts at i=2).
+    src = valid.copy()
+    src[:2] = True
+    last_src = np.maximum.accumulate(np.where(src, np.arange(len(x_int)), 0))
+    integral = integral[last_src]
 
     dom = (x_int >= 0.0) & (x_int <= 1.0)
     denom = np.trapezoid(pp2[dom], x_int[dom])

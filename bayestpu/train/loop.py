@@ -255,6 +255,9 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
                best0: tuple[float, Any, int] | None = None,
                plateau_factor: float | None = None,
                plateau_patience: int = 10,
+               cache_data: bool = True,
+               reshuffle: bool = False,
+               history: dict | None = None,
                log_fn: Callable[[str], None] = print) -> TrainState:
     """Epoch driver with early stopping + best-snapshot keeping
     (``train_base.py:48-84``). ``train_batches``/``val_batches`` are
@@ -291,6 +294,21 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
     history (both live in the rolling checkpoint's ``aux``); the per-step
     key folding is a pure function of ``state.step``, so a restored run
     continues bit-identically to an uninterrupted one.
+
+    ``cache_data``: with the epoch scan active, stack + upload the dataset
+    to the device ONCE and reuse it every epoch (``train_batches`` is then
+    consumed exactly once). Every dataset in this zoo is
+    device-resident-sized; re-uploading it per epoch costs more host↔device
+    traffic than the training itself. Set False to draw fresh host batches
+    each epoch (streaming pipelines / datasets larger than HBM).
+    ``reshuffle``: with ``cache_data``, permute the flattened example axis
+    on device each epoch with a (key, epoch)-derived fold — the shuffle the
+    per-epoch host iterator used to provide; pure function of (key, epoch),
+    so resume stays bit-identical.
+
+    ``history``: optional dict; filled in place with per-epoch
+    ``train_loss`` and ``val_metric`` lists — the raw material for the
+    reference's loss-curve figure (``train_utils.py:87-92``).
     """
     if val_mode not in ("acc", "eed", "ce"):
         raise ValueError(f"unknown val_mode {val_mode!r}")
@@ -339,21 +357,62 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
     else:
         best_metric, best_params, since_best = -float("inf"), state.params, 0
     lr_scale, since_plateau = jnp.float32(1.0), 0
-    for epoch in range(start_epoch, num_epochs):
-        t0 = time.perf_counter()
-        batches = list(train_batches())
-        if train_epoch is not None and _stackable(batches):
+
+    # device-resident dataset cache for the scan path (uploaded once,
+    # reshuffled on device each epoch)
+    cached: tuple[jax.Array, jax.Array] | None = None
+    shuffle_fn = None
+    if history is not None:
+        history.setdefault("train_loss", [])
+        history.setdefault("val_metric", [])
+
+    def _epoch_arrays(epoch: int):
+        """(xs, ys, n_batches) for the scan path, or the raw batch list for
+        the per-step path.
+
+        The cached path re-derives epoch e's order purely from (key, e) —
+        a run resumed at epoch e sees the SAME permutation of the SAME
+        stacked arrays an uninterrupted run would (bit-identical resume),
+        provided ``train_batches`` itself is epoch-independent (the CLI's
+        device pipeline is)."""
+        nonlocal cached, shuffle_fn
+        if cached is None:
+            batches = list(train_batches())
+            if train_epoch is None or not _stackable(batches):
+                return batches
             xs = jnp.asarray(np.stack([b[0] for b in batches]))
             ys = jnp.asarray(np.stack([b[1] for b in batches]))
-            xs, ys = _shard(xs, ys, stacked=True)
+            if not cache_data:
+                return (*_shard(xs, ys, stacked=True), len(batches))
+            cached = (xs, ys)
+        xs, ys = cached
+        if reshuffle:
+            if shuffle_fn is None:
+                @jax.jit
+                def shuffle_fn(xs, ys, k):
+                    nb, bsz = xs.shape[0], xs.shape[1]
+                    perm = jax.random.permutation(k, nb * bsz)
+                    xf = xs.reshape((nb * bsz,) + xs.shape[2:])[perm]
+                    yf = ys.reshape((nb * bsz,) + ys.shape[2:])[perm]
+                    return xf.reshape(xs.shape), yf.reshape(ys.shape)
+            xs, ys = shuffle_fn(xs, ys, jax.random.fold_in(
+                jax.random.fold_in(key, 0x51), epoch))
+        xs, ys = _shard(xs, ys, stacked=True)
+        return xs, ys, xs.shape[0]
+
+    for epoch in range(start_epoch, num_epochs):
+        t0 = time.perf_counter()
+        got = _epoch_arrays(epoch)
+        if isinstance(got, tuple):
+            xs, ys, n_batches = got
             state.params, state.extra, state.opt_state, ms = train_epoch(
                 state.params, state.extra, state.opt_state, xs, ys, key,
                 state.step, lr_scale)
-            state.step += len(batches)
+            state.step += n_batches
             ep_loss = float(ms["loss"])
         else:
             n, loss_sum = 0, None
-            for x, y in batches:
+            for x, y in got:
                 xd, yd = _shard(jnp.asarray(x), jnp.asarray(y),
                                 stacked=False)
                 if augment_fn is not None:
@@ -368,6 +427,8 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
                 n += 1
             ep_loss = float(loss_sum) / max(n, 1) if n else 0.0
         msg = f"epoch {epoch}: loss {ep_loss:.4f}"
+        if history is not None:
+            history["train_loss"].append(ep_loss)
 
         if val_batches is not None:
             vbatches = list(val_batches())
@@ -394,6 +455,8 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
                     cnt += 1
                 val_acc = float(vsum) / max(cnt, 1) if cnt else 0.0
             msg += f" val_{val_mode} {abs(val_acc):.4f}"
+            if history is not None:
+                history["val_metric"].append(abs(val_acc))
             if val_acc > best_metric:
                 # device-side copy: the scan path donates params each epoch,
                 # which would invalidate a bare reference kept across epochs

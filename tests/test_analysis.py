@@ -72,3 +72,41 @@ def test_save_artifacts(tmp_path, key):
         lines = f.read().strip().splitlines()
     assert lines[0].startswith("exit,acc,")
     assert len(lines) == 1 + 2 + 2  # header + exits + ensembles
+
+
+def test_multipass_prefix_matches_fresh_run(key):
+    """Prefix-averaging p of the collected S samples equals a fresh p-pass
+    run: sample i's key is a pure function of i (core.rng.sample_keys)."""
+    fa = _setup(key)
+    samples = fa.collect_samples(3)          # (S, E, N, C)
+    assert samples.shape == (3, 2, 64, 10)
+    fresh2 = fa.collect(mc_passes=2)         # (E, N, C) fresh 2-pass mean
+    np.testing.assert_allclose(samples[:2].mean(0), fresh2,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_collect_samples_cached(key):
+    fa = _setup(key)
+    a = fa.collect_samples(3)
+    b = fa.collect_samples(2)   # served from cache: prefix of a
+    np.testing.assert_array_equal(a[:2], b)
+
+
+def test_save_validation_artifact(tmp_path, key):
+    fa = _setup(key)
+    xv = np.asarray(jax.random.normal(jax.random.fold_in(key, 7),
+                                      (20, 28, 28, 1)))
+    yv = np.asarray(jax.random.randint(jax.random.fold_in(key, 8),
+                                       (20,), 0, 10))
+    path = fa.save_validation(str(tmp_path), xv, yv, "exp2")
+    assert os.path.basename(path) == "validation_predictions_exp2.npy"
+    # the reference writes 3 consecutive np.save records into one file
+    with open(path, "rb") as f:
+        preds = np.load(f)
+        ens = np.load(f)
+        onehot = np.load(f)
+    assert preds.shape == (2, 20, 10)
+    assert ens.shape == (2, 20, 10)
+    assert onehot.shape == (20, 10)
+    np.testing.assert_allclose(onehot.sum(-1), 1.0)
+    np.testing.assert_allclose(ens[0], preds[0], rtol=1e-6)

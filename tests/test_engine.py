@@ -116,3 +116,17 @@ def test_predict_sample_idx_matches_mc_average(key):
     avg = np.mean(per_idx, axis=0)
     full = np.asarray(eng.predict(x, key=key).probs)
     np.testing.assert_allclose(avg, full, rtol=1e-5, atol=1e-6)
+
+
+def test_evaluate_dataset_matched_ood(key):
+    """aPE_ood uses the dataset-matched fixed-stats noise when the dataset
+    is named (VERDICT item 7: stats source is the protocol table, not the
+    batch)."""
+    model = get_model("lenet", bayes=BayesConfig(rate=0.25))
+    x = jax.random.normal(key, (16, 28, 28, 1))
+    y = jax.random.randint(jax.random.fold_in(key, 1), (16,), 0, 10)
+    eng = BayesEngine(model).init(key, x)
+    m = eng.evaluate(x, y, num_samples=2, ood_check=True, dataset="mnist")
+    assert np.isfinite(m["aPE_ood"])
+    m2 = eng.evaluate(x, y, num_samples=2, ood_check=True)  # batch fallback
+    assert np.isfinite(m2["aPE_ood"])

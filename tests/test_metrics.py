@@ -112,3 +112,28 @@ def test_multi_exit_accuracy_keys(key):
     m2 = multi_exit_accuracy(jnp.tile(perfect, (2, 1, 1)), labels)
     assert float(m2["exit0_top1"]) == 1.0
     assert float(m2["ens1_top1"]) == 1.0
+
+
+def test_random_noise_data_protocol(key):
+    """OOD noise uses the reference's FIXED per-dataset stats
+    (data_utils.py:66-89), standardized into the model input space."""
+    import pytest
+
+    from bayestpu.data.datasets import DATASET_STATS
+    from bayestpu.metrics.entropy import NOISE_STATS, random_noise_data
+
+    raw = random_noise_data(key, "cifar10", (4096, 2, 2, 3),
+                            normalized=False)
+    m, s = NOISE_STATS["cifar10"]
+    np.testing.assert_allclose(np.asarray(raw.mean((0, 1, 2))), m, atol=0.02)
+    np.testing.assert_allclose(np.asarray(raw.std((0, 1, 2))), s, atol=0.02)
+
+    norm = random_noise_data(key, "cifar10", (4096, 2, 2, 3))
+    dm, dstd = DATASET_STATS["cifar10"]
+    expect = (np.asarray(raw) - np.asarray(dm)) / np.asarray(dstd)
+    np.testing.assert_allclose(np.asarray(norm), expect, rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(KeyError):
+        random_noise_data(key, "nope", (1, 1, 1, 3))
+    with pytest.raises(ValueError):
+        random_noise_data(key, "mnist", (1, 1, 1, 3))  # channel mismatch

@@ -228,3 +228,41 @@ def test_plateau_lr_reduction(key):
                        patience=100, plateau_factor=0.1, plateau_patience=2,
                        log_fn=logs.append)
     assert any("plateau" in m for m in logs), logs
+
+
+def test_history_and_device_cache_reshuffle(key):
+    """history collects per-epoch losses; reshuffle=True trains on a fresh
+    device-side permutation per epoch and still learns."""
+    import optax
+
+    from bayestpu.core.config import BayesConfig
+    from bayestpu.nn.zoo import get_model
+    from bayestpu.train.loop import create_state, train_loop
+
+    model = get_model("lenet", bayes=BayesConfig(rate=0.25))
+    rng = np.random.default_rng(0)
+    xs = rng.normal(size=(4, 8, 28, 28, 1)).astype(np.float32)
+    ys = rng.integers(0, 10, size=(4, 8)).astype(np.int32)
+    calls = {"n": 0}
+
+    def batches():
+        calls["n"] += 1
+        return [(xs[i], ys[i]) for i in range(4)]
+
+    tx = optax.sgd(0.05)
+    state = create_state(model, tx, key, jnp.asarray(xs[0]))
+    hist = {}
+    train_loop(model, state, tx, batches, key, num_epochs=3,
+               reshuffle=True, history=hist, log_fn=lambda m: None)
+    assert calls["n"] == 1          # dataset uploaded once, reused
+    assert len(hist["train_loss"]) == 3
+    assert all(np.isfinite(v) for v in hist["train_loss"])
+
+
+def test_loss_curve_figure(tmp_path):
+    from bayestpu.cli.figures import loss_curve
+
+    path = loss_curve([1.0, 0.5, 0.3], [0.2, 0.4, 0.5],
+                      str(tmp_path / "figs" / "loss.png"))
+    import os
+    assert os.path.exists(path) and os.path.getsize(path) > 0
