@@ -75,6 +75,23 @@ def _mix(x: jax.Array) -> jax.Array:
     return x
 
 
+def _seed_stream(s0, s1) -> jax.Array:
+    """Per-(seed pair) stream constant mixed into every element's counter."""
+    return _mix(jnp.uint32(s0).astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+                ^ jnp.uint32(s1).astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+                ^ jnp.uint32(0xC2B2AE35))
+
+
+def _coord_bits(grow: jax.Array, gcol: jax.Array, stream: jax.Array
+                ) -> jax.Array:
+    """Uniform uint32 bits as a pure function of (stream, global row, global
+    col) — the single PRNG used by every masked kernel (matmul and conv), so
+    an element's mask is identical no matter which kernel family or tiling
+    touches it."""
+    x = _mix(grow * jnp.uint32(0x27D4EB2F) ^ gcol ^ stream)
+    return _mix(x ^ (gcol * jnp.uint32(0x165667B1)))
+
+
 def _tile_bits(shape: tuple[int, int], s0, s1, ti, tk,
                block_m: int, block_k: int) -> jax.Array:
     """Counter-based uniform uint32 bits for one (block_m, block_k) tile.
@@ -87,11 +104,7 @@ def _tile_bits(shape: tuple[int, int], s0, s1, ti, tk,
     cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     grow = jnp.uint32(ti) * jnp.uint32(block_m) + rows
     gcol = jnp.uint32(tk) * jnp.uint32(block_k) + cols
-    stream = _mix(jnp.uint32(s0).astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
-                  ^ jnp.uint32(s1).astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
-                  ^ jnp.uint32(0xC2B2AE35))
-    x = _mix(grow * jnp.uint32(0x27D4EB2F) ^ gcol ^ stream)
-    return _mix(x ^ (gcol * jnp.uint32(0x165667B1)))
+    return _coord_bits(grow, gcol, _seed_stream(s0, s1))
 
 
 # ---------------------------------------------------------------- MC dropout

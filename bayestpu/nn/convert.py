@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from bayestpu.core.config import BayesConfig, DropoutKind, InsertStrategy, QuantConfig
 from bayestpu.engine import sampler
 from bayestpu.nn.bayes import BayesSite
+from bayestpu.nn.fused import BayesConv, BayesDense
 from bayestpu.nn.layers import Conv, Dense, QuantAct, avg_pool, max_pool
 from bayestpu.nn.multiexit import ExitOutputs, stack_exits
 
@@ -143,27 +144,51 @@ def convert_to_bayesian(specs: Sequence[Spec], bayes: BayesConfig
 
 class Sequential(nn.Module):
     """Flax module built from a layer-spec list (the Keras-Sequential
-    analogue the converter operates on)."""
+    analogue the converter operates on).
+
+    With ``fused=True``, a ``Bayes`` spec immediately followed by a Conv or
+    Dense spec lowers to the fused Pallas kernels (``BayesConv`` /
+    ``BayesDense``) — the TPU analogue of the hls4ml fork synthesizing the
+    inserted dropout layers into the conv/dense fabric
+    (``Hardware_Artifact/autobayes/diff_dropouts.py:33-53``). Strided or
+    explicitly-padded convs keep the materialized site.
+    """
 
     specs: tuple
     quant: QuantConfig | None = None
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False
                  ) -> ExitOutputs:
         feat = None
+        pending: BayesConfig | None = None
+        site_kw = dict(sample_idx=sample_idx, train=train)
         for i, s in enumerate(self.specs):
             if isinstance(s, C):
-                x = Conv(s.features, s.kernel, s.strides, s.padding,
-                         quant=self.quant, dtype=self.dtype,
-                         name=f"conv_{i}")(x)
+                if pending is not None:
+                    x = BayesConv(s.features, tuple(s.kernel),
+                                  tuple(s.strides), s.padding, bayes=pending,
+                                  quant=self.quant, dtype=self.dtype,
+                                  name=f"conv_{i}")(x, **site_kw)
+                    pending = None
+                else:
+                    x = Conv(s.features, s.kernel, s.strides, s.padding,
+                             quant=self.quant, dtype=self.dtype,
+                             name=f"conv_{i}")(x)
             elif isinstance(s, D):
                 if x.ndim > 2:
                     x = x.reshape((x.shape[0], -1))
                 feat = x
-                x = Dense(s.features, quant=self.quant, dtype=self.dtype,
-                          name=f"dense_{i}")(x)
+                if pending is not None:
+                    x = BayesDense(s.features, bayes=pending, fused=True,
+                                   quant=self.quant,
+                                   name=f"dense_{i}")(x, **site_kw)
+                    pending = None
+                else:
+                    x = Dense(s.features, quant=self.quant, dtype=self.dtype,
+                              name=f"dense_{i}")(x)
             elif isinstance(s, Act):
                 x = QuantAct(act=getattr(nn, s.fn), quant=self.quant,
                              name=f"act_{i}")(x)
@@ -173,8 +198,14 @@ class Sequential(nn.Module):
             elif isinstance(s, Flatten):
                 x = x.reshape((x.shape[0], -1))
             elif isinstance(s, Bayes):
-                x = BayesSite(s.cfg, name=f"bayes_{i}")(
-                    x, sample_idx=sample_idx, train=train)
+                nxt = self.specs[i + 1] if i + 1 < len(self.specs) else None
+                if self.fused and isinstance(nxt, (C, D)) and (
+                        isinstance(nxt, D)
+                        or (tuple(nxt.strides) == (1, 1)
+                            and isinstance(nxt.padding, str))):
+                    pending = s.cfg   # consumed by the next layer's kernel
+                else:
+                    x = BayesSite(s.cfg, name=f"bayes_{i}")(x, **site_kw)
             else:
                 raise TypeError(f"unknown spec {s!r}")
         return stack_exits([x], [feat] if feat is not None else None)

@@ -26,6 +26,13 @@ from bayestpu.core.config import BayesConfig, DropoutKind, QuantConfig
 from bayestpu.core.quant import fake_quant, quantize_int8
 from bayestpu.core.rng import BAYES_RNG
 from bayestpu.kernels import mask_bank
+from bayestpu.kernels.masked_conv import (
+    bank_conv_inference,
+    bank_conv_int8,
+    dropout_conv,
+    dropout_conv_inference,
+    dropout_conv_int8,
+)
 from bayestpu.kernels.masked_matmul import (
     _dropout_apply,
     bank_matmul_inference,
@@ -70,6 +77,130 @@ class BayesConvInput(nn.Module):
         y = _dropout_apply(flat, seeds, self.rate, 256, 128,
                            interpret=_use_interpret())
         return y.reshape(x.shape).astype(x.dtype)
+
+
+class BayesConv(nn.Module):
+    """(Bayesian mask → Conv) with the mask fused INTO the conv kernel.
+
+    The conv-side twin of ``BayesDense``: the reference inserts dropout /
+    Masksembles layers directly before conv layers (strategy ``full``,
+    ``Hardware_Artifact/converter/keras/nn2bnn.py:60-72``; per-block sites in
+    ``resnet18.py:212-258`` / ``vgg19.py:194-252``) and synthesizes them into
+    the conv fabric — its sweeps scale latency/LUTs with the dropout-layer
+    count inside conv nets (``autobayes/diff_dropouts.py:33-53``). Here the
+    mask is generated inside the Pallas shifted-matmul conv
+    (``bayestpu.kernels.masked_conv``): neither the mask nor the masked
+    activation touches HBM.
+
+    Fusion requires stride (1, 1) and str padding — other cases fall back to
+    the elementwise-masked path (``BayesianDropout``/``Masksembles`` site +
+    XLA conv), as does ``fused=False``. The kernel/bias params live directly
+    on this module, so swapping ``Conv`` ↔ ``BayesConv`` under the same name
+    keeps the param tree unchanged.
+    """
+
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (1, 1)
+    padding: str | tuple = "SAME"
+    bayes: BayesConfig = BayesConfig()
+    use_bias: bool = True
+    fused: bool = True
+    quant: QuantConfig | None = None
+    dtype: jnp.dtype = jnp.float32
+    bank_seed: int = 0
+
+    def _can_fuse(self) -> bool:
+        return (self.fused and tuple(self.strides) == (1, 1)
+                and isinstance(self.padding, str)
+                and self.padding in ("SAME", "VALID"))
+
+    def _xla_conv(self, x, kernel):
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=tuple(self.strides), padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False
+                 ) -> jax.Array:
+        in_ch = x.shape[-1]
+        kshape = tuple(self.kernel_size) + (in_ch, self.features)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape,
+                            jnp.float32)
+        kind = self.bayes.kind
+        fusable = self._can_fuse()
+        int8_fused = (self.quant is not None and self.quant.int8_infer
+                      and fusable and not train)
+        if self.quant is not None and not int8_fused:
+            kernel = fake_quant(kernel, self.quant)
+        if int8_fused:
+            xq, xs = quantize_int8(x, self.quant)
+            wq, ws = quantize_int8(kernel, self.quant)
+
+        if kind is DropoutKind.MASK:
+            def init_bank() -> jax.Array:
+                _, bank = mask_bank.generation_wrapper(
+                    in_ch, self.bayes.num_masks, self.bayes.scale,
+                    rng=np.random.default_rng(self.bank_seed))
+                return jnp.asarray(bank)
+
+            bank = self.variable(MASKS_COLLECTION, "bank", init_bank).value
+            if train:
+                # batch-split semantics (ref Masksembles.py:177): stays on
+                # the XLA conv — the mask differs per batch group
+                b = x.shape[0]
+                if b % self.bayes.num_masks != 0:
+                    raise ValueError(
+                        f"batch size {b} not divisible by num_masks "
+                        f"{self.bayes.num_masks}")
+                g = b // self.bayes.num_masks
+                gx = x.reshape((self.bayes.num_masks, g) + x.shape[1:])
+                xm = (gx * bank[:, None, None, None, :]).reshape(x.shape)
+                y = self._xla_conv(xm, kernel)
+            elif int8_fused:
+                y = bank_conv_int8(xq, wq, bank, sample_idx, xs, ws,
+                                   self.padding, interpret=_use_interpret())
+            elif fusable:
+                y = bank_conv_inference(x, kernel, bank, sample_idx,
+                                        self.padding,
+                                        interpret=_use_interpret())
+            else:
+                row = jnp.take(bank,
+                               jnp.asarray(sample_idx) % self.bayes.num_masks,
+                               axis=0)
+                y = self._xla_conv(x * row, kernel)
+        elif kind is DropoutKind.MC and self.bayes.rate > 0.0:
+            if int8_fused:
+                key = self.make_rng(BAYES_RNG)
+                seeds = jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
+                y = dropout_conv_int8(xq, wq, seeds, self.bayes.rate, xs, ws,
+                                      self.padding, interpret=_use_interpret())
+            elif fusable:
+                key = self.make_rng(BAYES_RNG)
+                seeds = jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
+                cc = dropout_conv if train else dropout_conv_inference
+                y = cc(x, kernel, seeds, self.bayes.rate, self.padding,
+                       interpret=_use_interpret())
+            else:
+                xm = BayesianDropout(rate=self.bayes.rate, name="drop")(
+                    x, sample_idx=sample_idx, train=train)
+                y = self._xla_conv(xm, kernel)
+        elif int8_fused:
+            y = dropout_conv_int8(xq, wq, jnp.zeros((2,), jnp.int32), 0.0,
+                                  xs, ws, self.padding,
+                                  interpret=_use_interpret())
+        else:
+            y = self._xla_conv(x, kernel)
+
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            if self.quant is not None:
+                bias = fake_quant(bias, self.quant)
+            y = y + bias
+        return y
 
 
 class BayesDense(nn.Module):

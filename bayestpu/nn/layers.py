@@ -132,6 +132,10 @@ class ConvBN(nn.Module):
     collection); at inference the running stats are folded into the conv
     output. Fake-quant applies to the conv kernel, as in the fused QKeras
     layer the reference uses for ResNet (``qmodels.py:163-176``).
+
+    ``bayes``: optional Bayesian site on the conv INPUT, fused into the conv
+    kernel via ``BayesConv`` (``bayestpu.kernels.masked_conv``) — the conv
+    param path stays ``<name>/conv/kernel`` either way.
     """
 
     features: int
@@ -142,12 +146,26 @@ class ConvBN(nn.Module):
     dtype: Dtype = jnp.float32
     momentum: float = 0.9
     epsilon: float = 1e-5
+    bayes: "object | None" = None     # BayesConfig | None
+    fused: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
-        y = Conv(features=self.features, kernel_size=self.kernel_size,
-                 strides=self.strides, padding=self.padding, use_bias=False,
-                 quant=self.quant, dtype=self.dtype, name="conv")(x)
+    def __call__(self, x: jax.Array, *, train: bool = False, sample_idx=0
+                 ) -> jax.Array:
+        if self.bayes is not None and getattr(self.bayes, "kind", None) is not None \
+                and self.bayes.kind.name != "NONE":
+            from bayestpu.nn.fused import BayesConv
+            y = BayesConv(features=self.features,
+                          kernel_size=tuple(self.kernel_size),
+                          strides=tuple(self.strides), padding=self.padding,
+                          bayes=self.bayes, use_bias=False, fused=self.fused,
+                          quant=self.quant, dtype=self.dtype, name="conv")(
+                x, sample_idx=sample_idx, train=train)
+        else:
+            y = Conv(features=self.features, kernel_size=self.kernel_size,
+                     strides=self.strides, padding=self.padding,
+                     use_bias=False, quant=self.quant, dtype=self.dtype,
+                     name="conv")(x)
         y = nn.BatchNorm(use_running_average=not train,
                          momentum=self.momentum, epsilon=self.epsilon,
                          name="bn")(y)

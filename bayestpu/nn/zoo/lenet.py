@@ -33,7 +33,7 @@ import dataclasses
 
 from bayestpu.core.config import BayesConfig, DropoutKind, QuantConfig
 from bayestpu.nn.bayes import BayesSite
-from bayestpu.nn.fused import BayesDense
+from bayestpu.nn.fused import BayesConv, BayesDense
 from bayestpu.nn.layers import Conv, Dense, QuantAct, max_pool
 from bayestpu.nn.multiexit import ExitOutputs, stack_exits
 from bayestpu.nn.zoo.registry import register_model
@@ -67,20 +67,31 @@ class LeNet(nn.Module):
                  name="conv2d_1")(x)
         x = QuantAct(quant=q, name="relu1")(x)
         x = max_pool(x, 2, 2)
-        if _site_on(0, nb):
-            x = BayesSite(self.bayes, name="bayes_0")(
+        # Site 0's only consumer is conv2d_2: with fused=True the mask fuses
+        # into that conv's Pallas kernel (BayesConv); param path stays
+        # conv2d_2/kernel either way.
+        if _site_on(0, nb) and self.fused:
+            x = BayesConv(20, (5, 5), padding="SAME", bayes=self.bayes,
+                          quant=q, dtype=dt, name="conv2d_2")(
                 x, sample_idx=sample_idx, train=train)
-
-        x = Conv(20, (5, 5), padding="SAME", quant=q, dtype=dt,
-                 name="conv2d_2")(x)
+        else:
+            if _site_on(0, nb):
+                x = BayesSite(self.bayes, name="bayes_0")(
+                    x, sample_idx=sample_idx, train=train)
+            x = Conv(20, (5, 5), padding="SAME", quant=q, dtype=dt,
+                     name="conv2d_2")(x)
         x = QuantAct(quant=q, name="relu2")(x)
         x = max_pool(x, 7, 7)
         x = x.reshape((x.shape[0], -1))
-        if _site_on(1, nb):
-            x = BayesSite(self.bayes, name="bayes_1")(
-                x, sample_idx=sample_idx, train=train)
-
-        x = Dense(100, quant=q, dtype=dt, name="fc_1")(x)
+        # Site 1 feeds fc_1: fuse into the masked-matmul kernel.
+        if _site_on(1, nb) and self.fused:
+            x = BayesDense(100, bayes=self.bayes, fused=True, quant=q,
+                           name="fc_1")(x, sample_idx=sample_idx, train=train)
+        else:
+            if _site_on(1, nb):
+                x = BayesSite(self.bayes, name="bayes_1")(
+                    x, sample_idx=sample_idx, train=train)
+            x = Dense(100, quant=q, dtype=dt, name="fc_1")(x)
         x = QuantAct(quant=q, name="relu3")(x)
         feat = x
         head_bayes = self.bayes if _site_on(2, nb) else dataclasses.replace(

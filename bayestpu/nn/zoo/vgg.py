@@ -65,12 +65,18 @@ class _VGGBlock(nn.Module):
     channels: Sequence[int]
     quant: QuantConfig | None = None
     dtype: jnp.dtype = jnp.float32
+    # Bayesian site on the block INPUT, fused into the first conv's Pallas
+    # kernel (set by VGG when dropout="block" and fused=True)
+    bayes_in: BayesConfig | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False
+                 ) -> jax.Array:
         for i, ch in enumerate(self.channels):
             x = ConvBN(ch, (3, 3), quant=self.quant, dtype=self.dtype,
-                       name=f"convbn{i}")(x, train=train)
+                       bayes=self.bayes_in if i == 0 else None,
+                       name=f"convbn{i}")(x, train=train,
+                                          sample_idx=sample_idx)
             x = QuantAct(quant=self.quant, name=f"relu{i}")(x)
         return max_pool(x, 2, 2)
 
@@ -136,12 +142,22 @@ class VGG(nn.Module):
         exits: list[jax.Array] = []
         feats: list[jax.Array] = []
         out = x
+        # With fused=True and no early exits, a block-site's only consumer is
+        # the NEXT block's first conv, so the mask fuses into that conv's
+        # Pallas kernel (``BayesConv``). With exits the site output feeds the
+        # exit head too, so the site must stay materialized.
+        pending_site: BayesConfig | None = None
         for i, chans in enumerate(blocks):
-            out = _VGGBlock(chans, quant=q, dtype=dt, name=f"block{i}")(
-                out, train=train)
+            out = _VGGBlock(chans, quant=q, dtype=dt, bayes_in=pending_site,
+                            name=f"block{i}")(
+                out, sample_idx=sample_idx, train=train)
+            pending_site = None
             if self.dropout == "block" and i < n_blocks - 1:
-                out = BayesSite(self.bayes, name=f"bayes_b{i}")(
-                    out, **site_kw)
+                if self.fused and self.n_exits == 1:
+                    pending_site = self.bayes
+                else:
+                    out = BayesSite(self.bayes, name=f"bayes_b{i}")(
+                        out, **site_kw)
             if self.n_exits > 1 and i < n_blocks - 1:
                 # cascade doubling channels up to 512 (vgg19.py:259-286)
                 chain, c = [], blocks[i][-1]
