@@ -76,30 +76,52 @@ def finalize_metrics(parts: dict[str, jax.Array]) -> dict[str, jax.Array]:
     }
 
 
+def put_global(tree: Any, mesh: Mesh, spec: P) -> Any:
+    """Shard host-resident arrays onto a (possibly multi-process) global
+    mesh. ``jax.device_put`` rejects shardings with non-addressable devices;
+    ``make_array_from_callback`` builds each process's addressable shards
+    from the same host copy — correct as long as every process holds
+    identical data (our workers derive everything from shared seeds)."""
+    sharding = NamedSharding(mesh, spec)
+
+    def put(a):
+        a = jnp.asarray(a)
+        return jax.make_array_from_callback(a.shape, sharding,
+                                            lambda idx: a[idx])
+
+    return jax.tree.map(put, tree)
+
+
 def distributed_evaluate(model, variables: Any, x, y, num_samples: int,
                          mesh: Mesh, key: jax.Array | None = None) -> dict:
     """Sharded MC evaluation: batch over ``data`` × samples over ``sample``;
-    the metric reduction lowers to ICI all-reduces inside one jit."""
+    the metric reduction lowers to ICI all-reduces inside one jit. Works
+    unchanged on a single-process virtual mesh and a multi-process
+    ``jax.distributed`` runtime (tests/test_multiprocess.py)."""
     from bayestpu.core.rng import sample_keys
     from bayestpu.engine import sampler
 
     key = key if key is not None else jax.random.key(0)
     n_sample = mesh.shape[SAMPLE_AXIS]
     padded = -(-num_samples // n_sample) * n_sample
-    keys = jax.device_put(sample_keys(key, padded),
-                          NamedSharding(mesh, P(SAMPLE_AXIS)))
-    idxs = jax.device_put(jnp.arange(padded, dtype=jnp.int32),
-                          NamedSharding(mesh, P(SAMPLE_AXIS)))
-    xs = jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))
-    ys = jax.device_put(y, NamedSharding(mesh, P(DATA_AXIS)))
-    vs = jax.device_put(variables, NamedSharding(mesh, P()))
+    # typed PRNG keys don't round-trip make_array_from_callback: ship raw
+    # key data and re-wrap inside the jit
+    kd = put_global(jax.random.key_data(sample_keys(key, padded)), mesh,
+                    P(SAMPLE_AXIS))
+    impl = jax.random.key_impl(key)
+    idxs = put_global(jnp.arange(padded, dtype=jnp.int32), mesh,
+                      P(SAMPLE_AXIS))
+    xs = put_global(x, mesh, P(DATA_AXIS))
+    ys = put_global(y, mesh, P(DATA_AXIS))
+    vs = put_global(variables, mesh, P())
 
     @jax.jit
-    def run(vs, xs, ys, keys, idxs):
+    def run(vs, xs, ys, kd, idxs):
+        keys = jax.random.wrap_key_data(kd, impl=impl)
         logits = jax.vmap(
             lambda k, i: sampler._apply_one(model, vs, xs, k, i))(keys, idxs)
         probs = jnp.mean(jax.nn.softmax(logits, axis=-1), axis=0)  # sample AR
         parts = eval_step_metrics(probs[-1], ys)
         return finalize_metrics(parts)
 
-    return {k: float(v) for k, v in run(vs, xs, ys, keys, idxs).items()}
+    return {k: float(v) for k, v in run(vs, xs, ys, kd, idxs).items()}
