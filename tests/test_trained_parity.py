@@ -1,0 +1,178 @@
+"""Trained accuracy/ECE/aPE parity vs the reference's OWN torch model.
+
+VERDICT r1 item 2: the acceptance test of the whole reference flow is
+*trained* side-by-side acc/ECE/aPE comparison
+(``/root/reference/Hardware_Artifact/bayes_hw/hls4ml_pred.py:89-119``,
+``autobayes/verify_accuracy.py:88-92``). Here the reference's
+``ResNet18MC`` (torch, imported read-only from /root/reference) and its
+bayestpu twin train on IDENTICAL synthetic-CIFAR arrays with the identical
+batch order and recipe, then MC-evaluate; final acc/ECE/aPE must agree
+within Monte-Carlo error (estimated from repeated MC evals) plus a small
+cross-framework training-stochasticity margin (inits and dropout draws
+necessarily differ between torch and jax PRNGs).
+
+Metrics for BOTH sides run through the same numpy implementations so the
+comparison isolates the models, not the metric code.
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from bayestpu.core.config import BayesConfig, DropoutKind  # noqa: E402
+from bayestpu.core.rng import BAYES_RNG, sample_keys  # noqa: E402
+from bayestpu.data.datasets import get_dataset  # noqa: E402
+from bayestpu.nn.zoo import get_model  # noqa: E402
+
+REF_SW = "/root/reference/Software_Artifact/software"
+
+EPOCHS, BATCH, N_TRAIN, N_TEST = 7, 64, 512, 256
+RATE, LR, MOM = 0.25, 0.05, 0.9
+MC_PASSES, EVAL_REPEATS = 8, 3
+
+
+def _hist_ece(probs: np.ndarray, labels: np.ndarray, n_bins: int = 15
+              ) -> float:
+    """15-bin histogram ECE (``results_analyzer.py:446-495`` protocol),
+    shared by both sides."""
+    conf = probs.max(-1)
+    correct = (probs.argmax(-1) == labels).astype(np.float64)
+    edges = np.linspace(0, 1, n_bins + 1)
+    ece = 0.0
+    for i in range(n_bins):
+        m = (conf > edges[i]) & (conf <= edges[i + 1])
+        if m.any():
+            ece += m.mean() * abs(correct[m].mean() - conf[m].mean())
+    return float(ece)
+
+
+def _ape(probs: np.ndarray) -> float:
+    """Mean predictive entropy (``metric_utils.py:3-6``)."""
+    p = np.clip(probs, 1e-12, 1.0)
+    return float(np.mean(-np.sum(p * np.log(p), axis=-1)))
+
+
+def _batch_order(rng: np.random.Generator, n: int, epochs: int):
+    return [rng.permutation(n) for _ in range(epochs)]
+
+
+@pytest.fixture(scope="module")
+def data():
+    ds = get_dataset("cifar10", data_dir="/nonexistent",
+                     n_synth_train=N_TRAIN, n_synth_test=N_TEST)
+    noise = np.random.default_rng(99).normal(
+        0.5, 0.25, size=(128,) + ds.x_test.shape[1:]).astype(np.float32)
+    order = _batch_order(np.random.default_rng(7), N_TRAIN, EPOCHS)
+    return ds, noise, order
+
+
+def _train_eval_torch(data):
+    ds, noise, order = data
+    sys.path.insert(0, REF_SW)
+    try:
+        from models.resnet18.resnet18 import ResNet18MC
+    finally:
+        sys.path.remove(REF_SW)
+    torch.manual_seed(3)
+    net = ResNet18MC(dropout_exit=True, dropout_p=RATE, out_dim=10)
+    opt = torch.optim.SGD(net.parameters(), lr=LR, momentum=MOM)
+    lossf = torch.nn.CrossEntropyLoss()
+    xtr = torch.from_numpy(ds.x_train.transpose(0, 3, 1, 2))
+    ytr = torch.from_numpy(ds.y_train.astype(np.int64))
+    net.train()
+    for ep in range(EPOCHS):
+        for s in range(0, N_TRAIN, BATCH):
+            idx = order[ep][s:s + BATCH]
+            opt.zero_grad()
+            out = net(xtr[idx])[0]
+            loss = lossf(out, ytr[idx])
+            loss.backward()
+            opt.step()
+    net.eval()  # MCDropout stays stochastic by construction (resnet18.py:207)
+    xte = torch.from_numpy(ds.x_test.transpose(0, 3, 1, 2))
+    xno = torch.from_numpy(noise.transpose(0, 3, 1, 2))
+
+    def mc_probs(x, seed):
+        torch.manual_seed(seed)
+        with torch.no_grad():
+            ps = [torch.softmax(net(x)[0], -1) for _ in range(MC_PASSES)]
+        return torch.stack(ps).mean(0).numpy()
+
+    return [(mc_probs(xte, 100 + r), mc_probs(xno, 200 + r))
+            for r in range(EVAL_REPEATS)]
+
+
+def _train_eval_bayestpu(data):
+    import optax
+
+    from bayestpu.engine import sampler
+    from bayestpu.train.loop import create_state, make_train_step
+
+    ds, noise, order = data
+    model = get_model("resnet18", num_classes=10, dropout_exit=True,
+                      bayes=BayesConfig(kind=DropoutKind.MC, rate=RATE))
+    key = jax.random.key(3)
+    tx = optax.sgd(LR, MOM)
+    state = create_state(model, tx, key, jnp.asarray(ds.x_train[:2]))
+    step = make_train_step(model, tx,
+                           has_batch_stats="batch_stats" in state.extra)
+    params, extra, opt_state = state.params, state.extra, state.opt_state
+    i = 0
+    for ep in range(EPOCHS):
+        for s in range(0, N_TRAIN, BATCH):
+            idx = order[ep][s:s + BATCH]
+            params, extra, opt_state, _ = step(
+                params, extra, opt_state, jnp.asarray(ds.x_train[idx]),
+                jnp.asarray(ds.y_train[idx]), key, i)
+            i += 1
+    vs = {"params": params, **extra}
+
+    @jax.jit
+    def mc_probs(x, k):
+        return sampler.predictive(model, vs, x, k, MC_PASSES).probs[-1]
+
+    xte, xno = jnp.asarray(ds.x_test), jnp.asarray(noise)
+    return [(np.asarray(mc_probs(xte, jax.random.key(100 + r))),
+             np.asarray(mc_probs(xno, jax.random.key(200 + r))))
+            for r in range(EVAL_REPEATS)]
+
+
+def test_trained_acc_ece_ape_parity(data):
+    ds, noise, order = data
+    y = ds.y_test
+
+    def summarize(reps):
+        accs = [float((p.argmax(-1) == y).mean()) for p, _ in reps]
+        eces = [_hist_ece(p, y) for p, _ in reps]
+        apes = [_ape(pn) for _, pn in reps]
+        return (np.mean(accs), np.std(accs), np.mean(eces), np.std(eces),
+                np.mean(apes), np.std(apes))
+
+    t_acc, t_acc_s, t_ece, t_ece_s, t_ape, t_ape_s = summarize(
+        _train_eval_torch(data))
+    j_acc, j_acc_s, j_ece, j_ece_s, j_ape, j_ape_s = summarize(
+        _train_eval_bayestpu(data))
+
+    # Both must actually learn — guards against trivially-equal broken runs
+    assert t_acc > 0.6, f"reference torch model failed to train: {t_acc}"
+    assert j_acc > 0.6, f"bayestpu model failed to train: {j_acc}"
+
+    def bound(s1, s2, floor):
+        # 4σ MC-eval error + cross-framework training-stochasticity floor
+        return 4.0 * float(np.hypot(s1, s2)) + floor
+
+    assert abs(t_acc - j_acc) <= bound(t_acc_s, j_acc_s, 0.06), (
+        f"acc gap: torch {t_acc:.3f}±{t_acc_s:.3f} vs "
+        f"bayestpu {j_acc:.3f}±{j_acc_s:.3f}")
+    assert abs(t_ece - j_ece) <= bound(t_ece_s, j_ece_s, 0.06), (
+        f"ECE gap: torch {t_ece:.3f}±{t_ece_s:.3f} vs "
+        f"bayestpu {j_ece:.3f}±{j_ece_s:.3f}")
+    # aPE on identical noise inputs: same order of magnitude of uncertainty
+    assert abs(t_ape - j_ape) <= bound(t_ape_s, j_ape_s, 0.35), (
+        f"aPE gap: torch {t_ape:.3f}±{t_ape_s:.3f} vs "
+        f"bayestpu {j_ape:.3f}±{j_ape_s:.3f}")
