@@ -82,23 +82,25 @@ def chip_generation() -> str:
 
 
 def roofline(fn: Callable, *args: Any, iters: int = 20,
-             gen: str | None = None) -> dict:
+             gen: str | None = None, seconds: float | None = None) -> dict:
     """Measured vs speed-of-light: fraction of peak FLOP/s and HBM BW.
 
     The bound resource (compute vs memory) tells which peak applies —
     standard roofline over the XLA cost model's flop/byte counts.
+    ``seconds``: use a pre-measured per-call time instead of the blocking
+    loop here (pass an RTT-immune pipelined figure on tunneled chips).
     """
     gen = gen or chip_generation()
     peak_flops, peak_bw = PEAKS[gen]
     rep = cost_report(fn, *args)
-    dt = measure(fn, *args, iters=iters)
+    dt = seconds if seconds is not None else measure(fn, *args, iters=iters)
     flops = rep.get("flops") or 0.0
     bytes_ = rep.get("bytes_accessed") or 0.0
     intensity = flops / bytes_ if bytes_ else float("inf")
     ridge = peak_flops / peak_bw
     bound = "compute" if intensity >= ridge else "memory"
     sol = (flops / peak_flops) if bound == "compute" else (bytes_ / peak_bw)
-    return {
+    out = {
         "chip": gen,
         "seconds": dt,
         "achieved_tflops": flops / dt / 1e12 if flops else 0.0,
@@ -107,4 +109,14 @@ def roofline(fn: Callable, *args: Any, iters: int = 20,
         "bound": bound,
         "speed_of_light_s": sol,
         "fraction_of_peak": sol / dt if dt else 0.0,
+        # Cost-model FLOPs are pre-fusion-stable; the compute fraction is
+        # the reliable headroom column.
+        "flops_fraction_of_peak": flops / dt / peak_flops if dt else 0.0,
     }
+    if out["fraction_of_peak"] > 1.0:
+        # XLA's cost-model bytes count every pre-fusion intermediate; when
+        # fusion removes that traffic the memory "speed of light" is an
+        # over-estimate and the fraction exceeds 1. Flag it.
+        out["note"] = ("bytes_accessed over-counts fused traffic; use "
+                       "flops_fraction_of_peak")
+    return out

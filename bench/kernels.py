@@ -65,11 +65,79 @@ def bench_shape(m: int, k: int, n: int) -> dict:
     }
 
 
+def bench_conv_shape(b: int, h: int, w: int, c: int, f: int, k: int = 3
+                     ) -> dict:
+    """Fused masked-conv kernels vs the unfused path they replace:
+    (Pallas elementwise mask → HBM → XLA conv) ≙ ``nn/fused.py::
+    BayesConvInput`` + ``lax.conv`` — VERDICT r1 item 1's acceptance bar."""
+    from bayestpu.kernels.masked_conv import (
+        bank_conv,
+        dropout_conv,
+        dropout_conv_int8,
+        dropout_conv_samples,
+        mask_apply_nhwc,
+    )
+
+    k1, k2 = jax.random.split(jax.random.key(0))
+    x = jax.random.normal(k1, (b, h, w, c))
+    wk = jax.random.normal(k2, (k, k, c, f)) * 0.1
+    seeds = jnp.arange(2 * S, dtype=jnp.int32).reshape(S, 2) * 29 + 5
+
+    # every benched fn reduces its output to a scalar: pipelined timing keeps
+    # ~50 results in flight, and a (B,H,W,F) conv output ×50 would OOM HBM
+    fused_one = jax.jit(lambda a, ww: jnp.sum(
+        dropout_conv(a, ww, seeds[0], RATE)))
+    fused_multi = jax.jit(lambda a, ww: jnp.sum(
+        dropout_conv_samples(a, ww, seeds[:4], RATE)))
+
+    def xla_conv(a, ww):
+        return jax.lax.conv_general_dilated(
+            a, ww, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+
+    # the unfused path this kernel replaces: same Pallas mask kernel, masked
+    # activation round-trips HBM, conv is XLA's
+    unfused_one = jax.jit(lambda a, ww: jnp.sum(xla_conv(
+        mask_apply_nhwc(a, seeds[0], RATE), ww)))
+    plain_conv = jax.jit(lambda a, ww: jnp.sum(xla_conv(a, ww)))
+
+    bank = (jax.random.uniform(k1, (4, c)) > 0.5).astype(jnp.float32) * 2.0
+    fused_bank = jax.jit(lambda a, ww: jnp.sum(bank_conv(a, ww, bank, 1)))
+    unfused_bank = jax.jit(lambda a, ww: jnp.sum(xla_conv(a * bank[1], ww)))
+
+    cfg = QuantConfig(total_bits=8, integer_bits=2, int8_infer=True)
+    xq, xs = quantize_int8(x, cfg)
+    wq, ws = quantize_int8(wk, cfg)
+    int8_one = jax.jit(lambda a, ww: jnp.sum(dropout_conv_int8(
+        a, ww, seeds[0], RATE, xs, ws)))
+
+    gflop = 2 * b * h * w * c * f * k * k / 1e9
+    out = {
+        "conv_shape": [b, h, w, c, f, k], "gflop_per_sample": round(gflop, 2),
+        "fused_dropout_conv_ms": round(_min_ms(fused_one, x, wk), 4),
+        "unfused_mask_hbm_xla_conv_ms": round(_min_ms(unfused_one, x, wk), 4),
+        "plain_xla_conv_ms": round(_min_ms(plain_conv, x, wk), 4),
+        "fused_4sample_conv_ms": round(_min_ms(fused_multi, x, wk), 4),
+        "fused_bank_conv_ms": round(_min_ms(fused_bank, x, wk), 4),
+        "unfused_bank_xla_conv_ms": round(_min_ms(unfused_bank, x, wk), 4),
+        "fused_int8_conv_ms": round(_min_ms(int8_one, xq, wq), 4),
+    }
+    out["fused_tflops"] = round(gflop / out["fused_dropout_conv_ms"], 1)
+    out["vs_unfused"] = round(out["unfused_mask_hbm_xla_conv_ms"]
+                              / out["fused_dropout_conv_ms"], 3)
+    return out
+
+
 def main() -> None:
     for shape in [(128, 512, 10),      # vgg11 head (the reference's mc head)
                   (1024, 512, 128),    # wide-batch head
                   (1024, 2048, 1024)]: # compute-bound
         print(json.dumps(bench_shape(*shape)))
+    for cshape in [(128, 32, 32, 64, 128),    # vgg11 block-2 conv
+                   (128, 16, 16, 256, 256),   # mid-net conv
+                   (128, 8, 8, 512, 512)]:    # deep conv
+        print(json.dumps(bench_conv_shape(*cshape)))
 
 
 if __name__ == "__main__":

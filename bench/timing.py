@@ -14,23 +14,30 @@ import time
 import jax
 
 
-def pipelined_s(fn, *args, iters: int = 50, warmup: int = 1,
-                repeats: int = 3) -> float:
-    """Per-call device time (seconds) via pipelined dispatch.
+def pipelined_windows_s(fn, *args, iters: int = 50, warmup: int = 1,
+                        repeats: int = 3) -> list[float]:
+    """Per-call device time of each pipelined window (seconds), sorted.
 
-    Best of ``repeats`` measurements: host-side dispatch jitter (python
-    enqueue cost under varying load) can starve the device mid-window, so
-    single windows over-read by up to ~2×; the minimum is the stable
-    chip-speed figure."""
+    Host-side dispatch jitter (python enqueue cost under varying load) can
+    starve the device mid-window, so single windows over-read by up to ~2×;
+    callers report min (stable chip-speed) AND median (steady state) —
+    VERDICT r1 asked for both."""
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
-    best = float("inf")
+    windows = []
     for _ in range(max(repeats, 1)):
         t0 = time.perf_counter()
         outs = [fn(*args) for _ in range(iters)]
         jax.block_until_ready(outs)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        windows.append((time.perf_counter() - t0) / iters)
+    return sorted(windows)
+
+
+def pipelined_s(fn, *args, iters: int = 50, warmup: int = 1,
+                repeats: int = 3) -> float:
+    """Best-window per-call device time (seconds) via pipelined dispatch."""
+    return pipelined_windows_s(fn, *args, iters=iters, warmup=warmup,
+                               repeats=repeats)[0]
 
 
 def blocking_latencies_s(fn, *args, iters: int = 50,
