@@ -67,7 +67,10 @@ from bayestpu.kernels.masked_matmul import (
 __all__ = [
     "dropout_conv", "dropout_conv_samples", "dropout_conv_inference",
     "bank_conv", "bank_conv_samples", "bank_conv_inference",
-    "dropout_conv_int8", "bank_conv_int8", "mask_apply_nhwc",
+    "dropout_conv_int8", "dropout_conv_int8_samples",
+    "dropout_conv_int8_inference", "bank_conv_int8",
+    "bank_conv_int8_samples", "bank_conv_int8_inference",
+    "mask_apply_nhwc",
 ]
 
 
@@ -651,6 +654,221 @@ def dropout_conv_int8(x_q: jax.Array, w_q: jax.Array, seeds: jax.Array,
         interpret=interpret,
     )(seeds2, g.pad_x(x_q), g.pad_w(w_q))
     return g.unpad_y(y)
+
+
+def _dropout_conv_int8_samples_kernel(seed_ref, x_ref, w_ref, o_ref,
+                                      acc_ref, *, g: _Geom, rate: float,
+                                      out_scale: float, num_samples: int):
+    i, c = pl.program_id(0), pl.program_id(2)
+
+    @pl.when(c == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]
+    thresh = jnp.uint32(_keep_threshold(rate))
+
+    def body(s, _):
+        bits = _tile_mask_bits(g, x.shape, _seed_stream(seed_ref[s, 0],
+                                                        seed_ref[s, 1]),
+                               i * g.bb, c * g.bc)
+        xm = jnp.where(bits < thresh, x, 0)
+        acc = acc_ref[s]
+        for dh in range(g.kh):
+            for dw in range(g.kw):
+                a = xm[:, dh:dh + g.ho, dw:dw + g.wa, :].reshape(
+                    g.m, x.shape[-1])
+                acc = acc + jax.lax.dot_general(
+                    a, w_ref[dh, dw],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+        acc_ref[s] = acc
+        return 0
+
+    jax.lax.fori_loop(0, num_samples, body, 0, unroll=True)
+
+    @pl.when(c == g.nc - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(jnp.float32) * out_scale
+
+
+def dropout_conv_int8_samples(x_q: jax.Array, w_q: jax.Array,
+                              seeds: jax.Array, rate: float, x_step: float,
+                              w_step: float, padding: str = "SAME",
+                              block_b: int = 0, block_c: int = 128,
+                              block_f: int = 128,
+                              interpret: bool = False) -> jax.Array:
+    """All-samples int8 fused MC conv: row s bit-identical to
+    ``dropout_conv_int8(x_q, w_q, seeds[s], ...)``; the int8 x tile is
+    fetched once for all S samples."""
+    assert x_q.dtype == jnp.int8 and w_q.dtype == jnp.int8
+    num_samples = seeds.shape[0]
+    g = _Geom(x_q.shape, w_q.shape, padding, block_b, block_c, block_f,
+              num_samples=num_samples)
+    out_scale = float(x_step) * float(w_step) / (1.0 - rate)
+    y = pl.pallas_call(
+        functools.partial(_dropout_conv_int8_samples_kernel, g=g, rate=rate,
+                          out_scale=out_scale, num_samples=num_samples),
+        grid=g.grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((g.bb, g.hp, g.wpa, g.bc),
+                         lambda i, j, c: (i, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g.kh, g.kw, g.bc, g.bf),
+                         lambda i, j, c: (0, 0, c, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((num_samples, g.m, g.bf),
+                               lambda i, j, c: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_samples, g.grid[0] * g.m, g.fa), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((num_samples, g.m, g.bf), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=g.cost(bytes_per_elt=1, num_samples=num_samples),
+        interpret=interpret,
+    )(seeds.astype(jnp.int32), g.pad_x(x_q), g.pad_w(w_q))
+    return g.unpad_y(y, lead=(num_samples,))
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_int8_inference_vmapped(rate, x_step, w_step, padding, block_b,
+                                 block_c, block_f, interpret):
+    @jax.custom_batching.custom_vmap
+    def f(x_q, w_q, seeds):
+        return dropout_conv_int8(x_q, w_q, seeds, rate, x_step, w_step,
+                                 padding, block_b, block_c, block_f,
+                                 interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, x_q, w_q, seeds):
+        xb, wb, sb = in_batched
+        if sb and not xb and not wb:
+            seeds2 = seeds.reshape(axis_size, 2)
+            outs = [dropout_conv_int8_samples(
+                x_q, w_q, seeds2[i:i + _CONV_SAMPLE_CHUNK], rate, x_step,
+                w_step, padding, block_b, block_c, block_f, interpret)
+                for i in range(0, axis_size, _CONV_SAMPLE_CHUNK)]
+            out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
+            return out, True
+
+        def one(i):
+            return f(x_q[i] if xb else x_q, w_q[i] if wb else w_q,
+                     seeds[i] if sb else seeds)
+        return jax.lax.map(one, jnp.arange(axis_size)), True
+
+    return f
+
+
+def dropout_conv_int8_inference(x_q: jax.Array, w_q: jax.Array,
+                                seeds: jax.Array, rate: float,
+                                x_step: float, w_step: float,
+                                padding: str = "SAME", block_b: int = 0,
+                                block_c: int = 128, block_f: int = 128,
+                                interpret: bool = False) -> jax.Array:
+    """``dropout_conv_int8`` with the seeds-mapped vmap collapse rule."""
+    return _conv_int8_inference_vmapped(
+        rate, float(x_step), float(w_step), padding, block_b, block_c,
+        block_f, interpret)(x_q, w_q, seeds)
+
+
+def _bank_conv_int8_samples_kernel(idx_ref, x_ref, w_ref, bank_ref, o_ref,
+                                   acc_ref, *, g: _Geom, out_scale: float,
+                                   num_samples: int):
+    c = pl.program_id(2)
+
+    @pl.when(c == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]
+
+    def body(s, _):
+        row = _bank_select_row(idx_ref[s], bank_ref, jnp.int32)
+        xm = jnp.where(row.reshape(1, 1, 1, -1) > 0, x, 0)
+        acc = acc_ref[s]
+        for dh in range(g.kh):
+            for dw in range(g.kw):
+                a = xm[:, dh:dh + g.ho, dw:dw + g.wa, :].reshape(
+                    g.m, x.shape[-1])
+                acc = acc + jax.lax.dot_general(
+                    a, w_ref[dh, dw],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+        acc_ref[s] = acc
+        return 0
+
+    jax.lax.fori_loop(0, num_samples, body, 0, unroll=True)
+
+    @pl.when(c == g.nc - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(jnp.float32) * out_scale
+
+
+def bank_conv_int8_samples(x_q: jax.Array, w_q: jax.Array, bank: jax.Array,
+                           sample_idxs: jax.Array, x_step: float,
+                           w_step: float, padding: str = "SAME",
+                           block_b: int = 0, block_c: int = 128,
+                           block_f: int = 128,
+                           interpret: bool = False) -> jax.Array:
+    """All-masks int8 fused Masksembles conv (x fetched once per S)."""
+    assert x_q.dtype == jnp.int8 and w_q.dtype == jnp.int8
+    num_samples = sample_idxs.shape[0]
+    g = _Geom(x_q.shape, w_q.shape, padding, block_b, block_c, block_f,
+              num_samples=num_samples)
+    bank_i8 = (bank > 0.5).astype(jnp.int8) if bank.dtype != jnp.int8 else bank
+    bankp = jnp.pad(bank_i8, ((0, 0), (0, g.ca - g.c)))
+    idxs = jnp.asarray(sample_idxs, jnp.int32) % bank.shape[0]
+    out_scale = float(x_step) * float(w_step)
+    y = _bank_conv_call(
+        functools.partial(_bank_conv_int8_samples_kernel, g=g,
+                          out_scale=out_scale, num_samples=num_samples),
+        g, idxs, g.pad_x(x_q), g.pad_w(w_q), bankp, (num_samples,),
+        jnp.int32, interpret)
+    return g.unpad_y(y, lead=(num_samples,))
+
+
+@functools.lru_cache(maxsize=None)
+def _bank_conv_int8_inference_vmapped(x_step, w_step, padding, block_b,
+                                      block_c, block_f, interpret):
+    @jax.custom_batching.custom_vmap
+    def f(x_q, w_q, bank, sample_idx):
+        return bank_conv_int8(x_q, w_q, bank, sample_idx, x_step, w_step,
+                              padding, block_b, block_c, block_f, interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, x_q, w_q, bank, sample_idx):
+        xb, wb, bb_, ib = in_batched
+        if ib and not (xb or wb or bb_):
+            idxs = sample_idx.reshape(axis_size)
+            outs = [bank_conv_int8_samples(
+                x_q, w_q, bank, idxs[i:i + _CONV_SAMPLE_CHUNK], x_step,
+                w_step, padding, block_b, block_c, block_f, interpret)
+                for i in range(0, axis_size, _CONV_SAMPLE_CHUNK)]
+            out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
+            return out, True
+
+        def one(i):
+            return f(x_q[i] if xb else x_q, w_q[i] if wb else w_q,
+                     bank[i] if bb_ else bank,
+                     sample_idx[i] if ib else sample_idx)
+        return jax.lax.map(one, jnp.arange(axis_size)), True
+
+    return f
+
+
+def bank_conv_int8_inference(x_q: jax.Array, w_q: jax.Array,
+                             bank: jax.Array, sample_idx: jax.Array,
+                             x_step: float, w_step: float,
+                             padding: str = "SAME", block_b: int = 0,
+                             block_c: int = 128, block_f: int = 128,
+                             interpret: bool = False) -> jax.Array:
+    """``bank_conv_int8`` with the sample-index vmap collapse rule."""
+    return _bank_conv_int8_inference_vmapped(
+        float(x_step), float(w_step), padding, block_b, block_c, block_f,
+        interpret)(x_q, w_q, bank, sample_idx)
 
 
 def _bank_conv_int8_kernel(idx_ref, x_ref, w_ref, bank_ref, o_ref, acc_ref,

@@ -486,6 +486,250 @@ def dropout_matmul_int8(x_q: jax.Array, w_q: jax.Array, seeds: jax.Array,
     return y[:m, :n]
 
 
+def _dropout_matmul_int8_samples_kernel(seed_ref, x_ref, w_ref, o_ref,
+                                        acc_ref, *, rate: float,
+                                        out_scale: float, num_samples: int,
+                                        nk: int, block_m: int, block_k: int):
+    i, k = pl.program_id(0), pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]
+    w = w_ref[:]
+    thresh = jnp.uint32(_keep_threshold(rate))
+
+    def body(s, _):
+        bits = _tile_bits(x.shape, seed_ref[s, 0], seed_ref[s, 1], i, k,
+                          block_m, block_k)
+        xm = jnp.where(bits < thresh, x, 0)
+        acc_ref[s] += jax.lax.dot_general(
+            xm, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, num_samples, body, 0, unroll=True)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(jnp.float32) * out_scale
+
+
+def dropout_matmul_int8_samples(x_q: jax.Array, w_q: jax.Array,
+                                seeds: jax.Array, rate: float,
+                                x_step: float, w_step: float,
+                                block_m: int = 128, block_n: int = 128,
+                                block_k: int = 128,
+                                interpret: bool = False) -> jax.Array:
+    """All-samples int8 fused MC head: row s bit-identical to
+    ``dropout_matmul_int8(x_q, w_q, seeds[s], ...)`` with the int8 x tile
+    fetched once for all S samples (the 8-bit twin of
+    ``dropout_matmul_samples``)."""
+    m, _ = x_q.shape
+    n = w_q.shape[1]
+    num_samples = seeds.shape[0]
+    xp = _pad_to(x_q, (block_m, block_k))
+    wp = _pad_to(w_q, (block_k, block_n))
+    mp, kp = xp.shape
+    np_ = wp.shape[1]
+    nk = kp // block_k
+    out_scale = float(x_step) * float(w_step) / (1.0 - rate)
+    y = pl.pallas_call(
+        functools.partial(_dropout_matmul_int8_samples_kernel, rate=rate,
+                          out_scale=out_scale, num_samples=num_samples,
+                          nk=nk, block_m=block_m, block_k=block_k),
+        grid=(mp // block_m, np_ // block_n, nk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((num_samples, block_m, block_n),
+                               lambda i, j, k: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_samples, mp, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((num_samples, block_m, block_n),
+                                   jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_samples * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_
+            + 4 * num_samples * mp * np_,
+            transcendentals=0),
+        interpret=interpret,
+    )(seeds.astype(jnp.int32), xp, wp)
+    return y[:, :m, :n]
+
+
+@functools.lru_cache(maxsize=None)
+def _int8_inference_vmapped(rate: float, x_step: float, w_step: float,
+                            block_m: int, block_n: int, block_k: int,
+                            interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def f(x_q, w_q, seeds):
+        return dropout_matmul_int8(x_q, w_q, seeds, rate, x_step, w_step,
+                                   block_m, block_n, block_k, interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, x_q, w_q, seeds):
+        xb, wb, sb = in_batched
+        if sb and not xb and not wb:
+            seeds2 = seeds.reshape(axis_size, 2)
+            outs = [dropout_matmul_int8_samples(
+                x_q, w_q, seeds2[i:i + _SAMPLE_CHUNK], rate, x_step, w_step,
+                block_m, block_n, block_k, interpret)
+                for i in range(0, axis_size, _SAMPLE_CHUNK)]
+            out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
+            return out, True
+
+        def one(i):
+            return f(x_q[i] if xb else x_q, w_q[i] if wb else w_q,
+                     seeds[i] if sb else seeds)
+        return jax.lax.map(one, jnp.arange(axis_size)), True
+
+    return f
+
+
+def dropout_matmul_int8_inference(x_q: jax.Array, w_q: jax.Array,
+                                  seeds: jax.Array, rate: float,
+                                  x_step: float, w_step: float,
+                                  block_m: int = 128, block_n: int = 128,
+                                  block_k: int = 128,
+                                  interpret: bool = False) -> jax.Array:
+    """``dropout_matmul_int8`` with a vmap rule collapsing a seeds-mapped
+    call into ``dropout_matmul_int8_samples`` launches."""
+    return _int8_inference_vmapped(rate, float(x_step), float(w_step),
+                                   block_m, block_n, block_k, interpret)(
+        x_q, w_q, seeds)
+
+
+def _bank_matmul_int8_samples_kernel(idx_ref, x_ref, w_ref, bank_ref, o_ref,
+                                     acc_ref, *, out_scale: float,
+                                     num_samples: int, nk: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]
+    w = w_ref[:]
+    rows = jax.lax.broadcasted_iota(jnp.int32, bank_ref.shape, 0)
+
+    def body(s, _):
+        sel = jnp.where(rows == idx_ref[s], bank_ref[:].astype(jnp.int32), 0)
+        row = jnp.max(sel, axis=0, keepdims=True)
+        xm = jnp.where(row > 0, x, 0)
+        acc_ref[s] += jax.lax.dot_general(
+            xm, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, num_samples, body, 0, unroll=True)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(jnp.float32) * out_scale
+
+
+def bank_matmul_int8_samples(x_q: jax.Array, w_q: jax.Array,
+                             bank: jax.Array, sample_idxs: jax.Array,
+                             x_step: float, w_step: float,
+                             block_m: int = 128, block_n: int = 128,
+                             block_k: int = 128,
+                             interpret: bool = False) -> jax.Array:
+    """All-masks int8 fused Masksembles head (one launch per S mask
+    indices, x fetched once)."""
+    m, _ = x_q.shape
+    n = w_q.shape[1]
+    num_samples = sample_idxs.shape[0]
+    xp = _pad_to(x_q, (block_m, block_k))
+    wp = _pad_to(w_q, (block_k, block_n))
+    bank_i8 = (bank > 0.5).astype(jnp.int8) if bank.dtype != jnp.int8 else bank
+    bankp = _pad_to(bank_i8, (1, block_k))
+    mp, kp = xp.shape
+    np_ = wp.shape[1]
+    nk = kp // block_k
+    out_scale = float(x_step) * float(w_step)
+    idxs = jnp.asarray(sample_idxs, jnp.int32) % bank.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(mp // block_m, np_ // block_n, nk),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, k, idx: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k, idx: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bank.shape[0], block_k),
+                         lambda i, j, k, idx: (0, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((num_samples, block_m, block_n),
+                               lambda i, j, k, idx: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((num_samples, block_m, block_n),
+                                   jnp.int32)],
+    )
+    y = pl.pallas_call(
+        functools.partial(_bank_matmul_int8_samples_kernel,
+                          out_scale=out_scale, num_samples=num_samples,
+                          nk=nk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_samples, mp, np_), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(idxs, xp, wp, bankp)
+    return y[:, :m, :n]
+
+
+@functools.lru_cache(maxsize=None)
+def _bank_int8_inference_vmapped(x_step: float, w_step: float, block_m: int,
+                                 block_n: int, block_k: int,
+                                 interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def f(x_q, w_q, bank, sample_idx):
+        return bank_matmul_int8(x_q, w_q, bank, sample_idx, x_step, w_step,
+                                block_m, block_n, block_k, interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, x_q, w_q, bank, sample_idx):
+        xb, wb, bb, ib = in_batched
+        if ib and not (xb or wb or bb):
+            idxs = sample_idx.reshape(axis_size)
+            outs = [bank_matmul_int8_samples(
+                x_q, w_q, bank, idxs[i:i + _SAMPLE_CHUNK], x_step, w_step,
+                block_m, block_n, block_k, interpret)
+                for i in range(0, axis_size, _SAMPLE_CHUNK)]
+            out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
+            return out, True
+
+        def one(i):
+            return f(x_q[i] if xb else x_q, w_q[i] if wb else w_q,
+                     bank[i] if bb else bank,
+                     sample_idx[i] if ib else sample_idx)
+        return jax.lax.map(one, jnp.arange(axis_size)), True
+
+    return f
+
+
+def bank_matmul_int8_inference(x_q: jax.Array, w_q: jax.Array,
+                               bank: jax.Array, sample_idx: jax.Array,
+                               x_step: float, w_step: float,
+                               block_m: int = 128, block_n: int = 128,
+                               block_k: int = 128,
+                               interpret: bool = False) -> jax.Array:
+    """``bank_matmul_int8`` with the sample-index vmap collapse rule."""
+    return _bank_int8_inference_vmapped(float(x_step), float(w_step),
+                                        block_m, block_n, block_k,
+                                        interpret)(x_q, w_q, bank, sample_idx)
+
+
 def _bank_matmul_int8_kernel(idx_ref, x_ref, w_ref, bank_ref, o_ref,
                              acc_ref, *, out_scale: float, nk: int):
     k = pl.program_id(2)

@@ -28,18 +28,20 @@ from bayestpu.core.rng import BAYES_RNG
 from bayestpu.kernels import mask_bank
 from bayestpu.kernels.masked_conv import (
     bank_conv_inference,
-    bank_conv_int8,
+    bank_conv_int8_inference,
     dropout_conv,
     dropout_conv_inference,
     dropout_conv_int8,
+    dropout_conv_int8_inference,
 )
 from bayestpu.kernels.masked_matmul import (
     _dropout_apply,
     bank_matmul_inference,
-    bank_matmul_int8,
+    bank_matmul_int8_inference,
     dropout_matmul,
     dropout_matmul_inference,
     dropout_matmul_int8,
+    dropout_matmul_int8_inference,
 )
 from bayestpu.nn.bayes import MASKS_COLLECTION, BayesianDropout, Masksembles
 
@@ -160,8 +162,9 @@ class BayesConv(nn.Module):
                 xm = (gx * bank[:, None, None, None, :]).reshape(x.shape)
                 y = self._xla_conv(xm, kernel)
             elif int8_fused:
-                y = bank_conv_int8(xq, wq, bank, sample_idx, xs, ws,
-                                   self.padding, interpret=_use_interpret())
+                y = bank_conv_int8_inference(xq, wq, bank, sample_idx, xs,
+                                             ws, self.padding,
+                                             interpret=_use_interpret())
             elif fusable:
                 y = bank_conv_inference(x, kernel, bank, sample_idx,
                                         self.padding,
@@ -175,8 +178,9 @@ class BayesConv(nn.Module):
             if int8_fused:
                 key = self.make_rng(BAYES_RNG)
                 seeds = jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
-                y = dropout_conv_int8(xq, wq, seeds, self.bayes.rate, xs, ws,
-                                      self.padding, interpret=_use_interpret())
+                y = dropout_conv_int8_inference(
+                    xq, wq, seeds, self.bayes.rate, xs, ws, self.padding,
+                    interpret=_use_interpret())
             elif fusable:
                 key = self.make_rng(BAYES_RNG)
                 seeds = jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
@@ -250,8 +254,9 @@ class BayesDense(nn.Module):
                 gx = x.reshape((self.bayes.num_masks, g, in_features))
                 y = (gx * bank[:, None, :]).reshape(x.shape) @ kernel
             elif int8_fused:
-                y = bank_matmul_int8(xq, wq, bank, sample_idx, xs, ws,
-                                     interpret=_use_interpret())
+                y = bank_matmul_int8_inference(xq, wq, bank, sample_idx,
+                                               xs, ws,
+                                               interpret=_use_interpret())
             elif self.fused:
                 y = bank_matmul_inference(x, kernel, bank, sample_idx,
                                           interpret=_use_interpret())
@@ -264,8 +269,11 @@ class BayesDense(nn.Module):
             if int8_fused:
                 key = self.make_rng(BAYES_RNG)
                 seeds = jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
-                y = dropout_matmul_int8(xq, wq, seeds, self.bayes.rate,
-                                        xs, ws, interpret=_use_interpret())
+                # inference wrapper: a sample-vmapped call collapses to one
+                # multi-sample int8 kernel launch
+                y = dropout_matmul_int8_inference(
+                    xq, wq, seeds, self.bayes.rate, xs, ws,
+                    interpret=_use_interpret())
             elif self.fused:
                 key = self.make_rng(BAYES_RNG)
                 seeds = jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]

@@ -352,3 +352,33 @@ def test_sequential_converter_fuses_sites():
         y_f = m_f.apply(v_f, x, sample_idx=idx).logits
         y_u = m_u.apply(v_u, x, sample_idx=idx).logits
         np.testing.assert_allclose(y_f, y_u, rtol=2e-5, atol=2e-5)
+
+
+def test_int8_conv_samples_and_vmap_collapse():
+    """int8 multi-sample conv: bit-identical to per-sample int8 singles, and
+    the inference wrapper collapses a seeds-mapped vmap to one launch."""
+    n, h, w_dim, c, f, k, pad = SHAPES[1]
+    rng = np.random.default_rng(20)
+    xq = jnp.asarray(rng.integers(-127, 128, (n, h, w_dim, c)), jnp.int8)
+    wq = jnp.asarray(rng.integers(-127, 128, (k, k, c, f)), jnp.int8)
+    sseeds = jnp.asarray(rng.integers(0, 2**31, (5, 2)), jnp.int32)
+    ys = mc.dropout_conv_int8_samples(xq, wq, sseeds, 0.25, 0.5, 0.25, pad,
+                                      interpret=INTERP)
+    y1 = jnp.stack([mc.dropout_conv_int8(xq, wq, sseeds[s], 0.25, 0.5, 0.25,
+                                         pad, interpret=INTERP)
+                    for s in range(5)])
+    assert jnp.array_equal(ys, y1)
+    yv = jax.vmap(lambda s: mc.dropout_conv_int8_inference(
+        xq, wq, s, 0.25, 0.5, 0.25, pad, interpret=INTERP))(sseeds)
+    assert jnp.array_equal(yv, y1)
+
+    bank = jnp.asarray(rng.integers(0, 2, (4, c)) * 2.0, jnp.float32)
+    idxs = jnp.asarray([0, 1, 2, 3, 1], jnp.int32)
+    yb1 = jnp.stack([mc.bank_conv_int8(xq, wq, bank, i, 0.5, 0.25, pad,
+                                       interpret=INTERP) for i in idxs])
+    ybs = mc.bank_conv_int8_samples(xq, wq, bank, idxs, 0.5, 0.25, pad,
+                                    interpret=INTERP)
+    assert jnp.array_equal(ybs, yb1)
+    ybv = jax.vmap(lambda i: mc.bank_conv_int8_inference(
+        xq, wq, bank, i, 0.5, 0.25, pad, interpret=INTERP))(idxs)
+    assert jnp.array_equal(ybv, yb1)

@@ -296,3 +296,38 @@ def test_dropout_matmul_inference_vmap_rule(key):
         y1 = dropout_matmul(x, w, seeds[s], 0.3, **I)
         np.testing.assert_allclose(np.asarray(yv[s]), np.asarray(y1),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_int8_matmul_samples_and_vmap_collapse():
+    """int8 multi-sample matmul kernels: bit-identical to per-sample int8
+    singles; inference wrappers collapse a sample-mapped vmap (the engine's
+    spatial sweep at the 8-bit operating point)."""
+    from bayestpu.kernels.masked_matmul import (
+        bank_matmul_int8, bank_matmul_int8_inference,
+        bank_matmul_int8_samples, dropout_matmul_int8,
+        dropout_matmul_int8_inference, dropout_matmul_int8_samples)
+
+    rng = np.random.default_rng(21)
+    xq = jnp.asarray(rng.integers(-127, 128, (48, 96)), jnp.int8)
+    wq = jnp.asarray(rng.integers(-127, 128, (96, 40)), jnp.int8)
+    sseeds = jnp.asarray(rng.integers(0, 2**31, (5, 2)), jnp.int32)
+    ys = dropout_matmul_int8_samples(xq, wq, sseeds, 0.3, 0.5, 0.25,
+                                     interpret=True)
+    y1 = jnp.stack([dropout_matmul_int8(xq, wq, sseeds[s], 0.3, 0.5, 0.25,
+                                        interpret=True)
+                    for s in range(5)])
+    assert jnp.array_equal(ys, y1)
+    yv = jax.vmap(lambda s: dropout_matmul_int8_inference(
+        xq, wq, s, 0.3, 0.5, 0.25, interpret=True))(sseeds)
+    assert jnp.array_equal(yv, y1)
+
+    bank = jnp.asarray(rng.integers(0, 2, (4, 96)) * 2.0, jnp.float32)
+    idxs = jnp.asarray([0, 1, 2, 3, 1], jnp.int32)
+    yb1 = jnp.stack([bank_matmul_int8(xq, wq, bank, i, 0.5, 0.25,
+                                      interpret=True) for i in idxs])
+    ybs = bank_matmul_int8_samples(xq, wq, bank, idxs, 0.5, 0.25,
+                                   interpret=True)
+    assert jnp.array_equal(ybs, yb1)
+    ybv = jax.vmap(lambda i: bank_matmul_int8_inference(
+        xq, wq, bank, i, 0.5, 0.25, interpret=True))(idxs)
+    assert jnp.array_equal(ybv, yb1)
