@@ -104,3 +104,74 @@ def test_prefetch_iterator_propagates_errors():
     next(it)
     with pytest.raises(RuntimeError, match="boom"):
         list(it)
+
+
+def test_raw_mnist_idx_loader(tmp_path):
+    """Real-format raw files load with no code change (the only blocker for
+    the paper configs in this offline environment is the files themselves)."""
+    import struct
+
+    from bayestpu.data.datasets import get_dataset
+
+    rng = np.random.default_rng(0)
+
+    def write_idx(path, arr):
+        arr = np.ascontiguousarray(arr, np.uint8)
+        with open(path, "wb") as f:
+            f.write(struct.pack(">I", 0x00000800 | arr.ndim))
+            f.write(struct.pack(f">{arr.ndim}I", *arr.shape))
+            f.write(arr.tobytes())
+
+    d = tmp_path / "mnist"
+    d.mkdir()
+    xtr = rng.integers(0, 256, (64, 28, 28), dtype=np.uint8)
+    xte = rng.integers(0, 256, (16, 28, 28), dtype=np.uint8)
+    write_idx(d / "train-images-idx3-ubyte", xtr)
+    write_idx(d / "train-labels-idx1-ubyte",
+              rng.integers(0, 10, 64, dtype=np.uint8))
+    write_idx(d / "t10k-images-idx3-ubyte", xte)
+    write_idx(d / "t10k-labels-idx1-ubyte",
+              rng.integers(0, 10, 16, dtype=np.uint8))
+    ds = get_dataset("mnist", data_dir=str(tmp_path))
+    assert not ds.meta["synthetic"]
+    assert ds.x_train.shape == (64, 28, 28, 1)
+    np.testing.assert_allclose(ds.x_train[..., 0], xtr / 255.0, atol=1e-7)
+
+
+def test_raw_cifar10_pickle_loader(tmp_path):
+    import pickle
+
+    from bayestpu.data.datasets import get_dataset
+
+    rng = np.random.default_rng(1)
+    root = tmp_path / "cifar-10-batches-py"
+    root.mkdir()
+    for i in range(1, 6):
+        batch = {b"data": rng.integers(0, 256, (20, 3072), dtype=np.uint8),
+                 b"labels": list(rng.integers(0, 10, 20))}
+        with open(root / f"data_batch_{i}", "wb") as f:
+            pickle.dump(batch, f)
+    with open(root / "test_batch", "wb") as f:
+        pickle.dump({b"data": rng.integers(0, 256, (10, 3072), dtype=np.uint8),
+                     b"labels": list(rng.integers(0, 10, 10))}, f)
+    ds = get_dataset("cifar10", data_dir=str(tmp_path))
+    assert not ds.meta["synthetic"]
+    assert ds.x_train.shape == (100, 32, 32, 3)
+    assert ds.x_test.shape == (10, 32, 32, 3)
+
+
+def test_raw_svhn_mat_loader(tmp_path):
+    pytest.importorskip("scipy")
+    from scipy.io import savemat
+
+    from bayestpu.data.datasets import get_dataset
+
+    rng = np.random.default_rng(2)
+    x = rng.integers(0, 256, (32, 32, 3, 24), dtype=np.uint8)
+    y = rng.integers(1, 11, (24, 1)).astype(np.uint8)  # SVHN labels 1..10
+    savemat(tmp_path / "train_32x32.mat", {"X": x, "y": y})
+    savemat(tmp_path / "test_32x32.mat", {"X": x[..., :8], "y": y[:8]})
+    ds = get_dataset("svhn", data_dir=str(tmp_path))
+    assert not ds.meta["synthetic"]
+    assert ds.x_train.shape == (24, 32, 32, 3)
+    assert ds.y_train.max() <= 9  # label '10' wraps to 0
