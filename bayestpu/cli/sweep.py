@@ -43,9 +43,9 @@ _INPUTS = {"lenet": (28, 28, 1), "lenet_me": (28, 28, 1)}
 
 
 def _model_point(name: str, bayes: BayesConfig, mode: SamplingMode,
-                 batch: int, iters: int) -> dict:
+                 batch: int, iters: int, fused: bool = False) -> dict:
     from bayestpu.nn.zoo import get_model
-    model = get_model(name, bayes=bayes)
+    model = get_model(name, bayes=bayes, fused=fused)
     x = jnp.zeros((batch,) + _INPUTS.get(name, (32, 32, 3)))
     eng = BayesEngine(model, bayes, EngineConfig(mode=mode)).init(
         jax.random.key(0), x)
@@ -68,9 +68,10 @@ def _measure(eng: BayesEngine, x: jax.Array, iters: int) -> dict:
     }
 
 
-def _point(bayes: BayesConfig, batch: int = 32, iters: int = 10) -> dict:
+def _point(bayes: BayesConfig, batch: int = 32, iters: int = 10,
+           fused: bool = False) -> dict:
     specs = tuple(convert_to_bayesian(lenet_specs(), bayes))
-    model = Sequential(specs=specs)
+    model = Sequential(specs=specs, fused=fused)
     x = jnp.zeros((batch, 28, 28, 1))
     eng = BayesEngine(model, bayes).init(jax.random.key(0), x)
     return _measure(eng, x, iters)
@@ -92,6 +93,10 @@ def main(argv=None) -> dict:
                    choices=["spatial", "temporal"],
                    help="`samples` sweep mappings (≙ Strategy "
                         "latency/resource)")
+    p.add_argument("--fused", action="store_true",
+                   help="lower (Bayes site -> conv/dense) pairs to the fused "
+                        "Pallas masked kernels (the dropout-in-fabric "
+                        "synthesis the reference sweeps measure)")
     p.add_argument("--out", default="sweeps")
     a = p.parse_args(argv)
 
@@ -105,18 +110,18 @@ def main(argv=None) -> dict:
                               num_bayes_layers=n, num_samples=a.mc_samples,
                               strategy=InsertStrategy.FULL if n > 4
                               else InsertStrategy.DEFAULT)
-            rows.append({"n_bayes_layers": n, **_point(cfg)})
+            rows.append({"n_bayes_layers": n, **_point(cfg, fused=a.fused)})
     elif a.sweep == "masks":
         for n in range(2, a.max_n + 1):
             cfg = BayesConfig(kind=DropoutKind.MASK, num_masks=n, scale=2.0,
                               num_bayes_layers=1)
-            rows.append({"num_masks": n, **_point(cfg)})
+            rows.append({"num_masks": n, **_point(cfg, fused=a.fused)})
     elif a.sweep == "scale":
         values = a.values or [1.5, 2.0, 3.0, 4.0]
         for s in values:
             cfg = BayesConfig(kind=DropoutKind.MASK, num_masks=4, scale=s,
                               num_bayes_layers=1)
-            rows.append({"scale": s, **_point(cfg)})
+            rows.append({"scale": s, **_point(cfg, fused=a.fused)})
     else:  # samples — lat_resource_eval matrix (mc|mask × mapping × model)
         values = [int(v) for v in (a.values or [2, 3, 5, 7, 9])]
         for s in values:
@@ -130,7 +135,7 @@ def main(argv=None) -> dict:
             for mode in (SamplingMode(m) for m in a.modes):
                 rows.append({"mc_samples": s, "mode": mode.value,
                              **_model_point(a.model, cfg, mode, a.batch,
-                                            iters=10)})
+                                            iters=10, fused=a.fused)})
 
     os.makedirs(a.out, exist_ok=True)
     path = os.path.join(a.out, f"{a.sweep}.json")

@@ -45,3 +45,13 @@ def test_figures_from_sweep_json(tmp_path):
     assert out, "figures CLI produced no files"
     for f in out:
         assert os.path.exists(f) and f.endswith(".png")
+
+
+def test_sweep_cli_fused_dropouts(tmp_path):
+    """--fused lowers the swept (site -> layer) pairs to the Pallas masked
+    kernels (interpret mode on CPU) and still produces the full row schema."""
+    res = sweep.main(["dropouts", "--max_n", "1", "--batch", "8",
+                      "--mc_samples", "2", "--fused", "--out", str(tmp_path)])
+    row = res["rows"][0]
+    assert row["n_bayes_layers"] == 1
+    assert row["latency_ms"] > 0 and row["samples_per_s"] > 0
