@@ -1,4 +1,6 @@
 #!/bin/bash
 # ≙ autobayes/diff_masksembles.sh: n Masksembles layers, scale=2.
 set -e
-python -m bayestpu.cli.sweep masks --max_n 8 --out "${OUT:-sweeps/autobayes}"
+# FUSED=0 disables the fused Pallas masked kernels (dropout-in-fabric)
+FUSED_FLAG=$([ "${FUSED:-1}" = "1" ] && echo --fused)
+python -m bayestpu.cli.sweep masks --max_n 8 $FUSED_FLAG --out "${OUT:-sweeps/autobayes}"

@@ -1,4 +1,6 @@
 #!/bin/bash
 # ≙ autobayes/diff_scale.sh: Masksembles scale sweep on LeNet.
 set -e
-python -m bayestpu.cli.sweep scale --values 1.5 2 3 4 6 8 --out "${OUT:-sweeps/autobayes}"
+# FUSED=0 disables the fused Pallas masked kernels (dropout-in-fabric)
+FUSED_FLAG=$([ "${FUSED:-1}" = "1" ] && echo --fused)
+python -m bayestpu.cli.sweep scale --values 1.5 2 3 4 6 8 $FUSED_FLAG --out "${OUT:-sweeps/autobayes}"
