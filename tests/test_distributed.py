@@ -100,3 +100,51 @@ def test_data_parallel_train_loop(key):
     # params stayed replicated across the mesh
     leaf = jax.tree.leaves(state.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+@needs_8
+def test_sharded_predictive_fused_kernels(key):
+    """The fused Pallas masked kernels compile and run under the sharded
+    (data x sample) mesh, bit-identical to the local spatial path — the
+    sample-sharded analogue of the fabric's replicated masked heads."""
+    from bayestpu.core.config import DropoutKind
+    from bayestpu.engine import sampler
+
+    for kind, kw in ((DropoutKind.MC, dict(rate=0.3)),
+                     (DropoutKind.MASK, dict(num_masks=4, scale=2.0))):
+        model = get_model("lenet", bayes=BayesConfig(kind=kind, **kw),
+                          fused=True)
+        x = jax.random.normal(key, (16, 28, 28, 1))
+        vs = model.init({"params": key, BAYES_RNG: key}, x)
+        mesh = sharding.make_mesh(2, 4)
+        k = jax.random.key(5)
+        local = sampler.predictive(model, vs, x, k, 8)
+        shard = sharding.sharded_predictive(model, vs, x, k, 8, mesh)
+        np.testing.assert_allclose(np.asarray(shard.probs),
+                                   np.asarray(local.probs),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@needs_8
+def test_fused_data_parallel_train_step(key):
+    """One data-parallel train step through the fused dropout_matmul /
+    dropout_conv VJPs with the batch sharded over all 8 devices."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bayestpu.train.loop import create_state, make_train_step
+
+    model = get_model("lenet_me", bayes=BayesConfig(rate=0.25), fused=True)
+    x = jnp.zeros((32, 28, 28, 1))
+    y = jnp.zeros((32,), jnp.int32)
+    tx = optax.sgd(0.1, 0.9)
+    state = create_state(model, tx, key, x)
+    mesh = sharding.make_mesh(8, 1)
+    params = sharding.replicate(state.params, mesh)
+    extra = sharding.replicate(state.extra, mesh)
+    opt_state = sharding.replicate(state.opt_state, mesh)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ys = jax.device_put(y, NamedSharding(mesh, P("data")))
+    step = make_train_step(model, tx)
+    p2, e2, o2, metrics = step(params, extra, opt_state, xs, ys, key)
+    assert jnp.isfinite(metrics["loss"])
