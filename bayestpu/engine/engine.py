@@ -279,16 +279,16 @@ class BayesEngine:
 
     def benchmark(self, x: jax.Array, iters: int = 20,
                   num_samples: int | None = None) -> dict:
-        """Wall-clock latency/throughput of the compiled predict."""
+        """Wall-clock latency/throughput of the compiled predict.
+
+        Value-fetch-fenced window differencing (``bench.timing``):
+        ``block_until_ready`` does not fence execution over the tunnel."""
+        from bayestpu.utils.timing import pipelined_s
+
         key = jax.random.key(0)
         s = sampler.num_effective_samples(self.bayes, num_samples)
         fn = self._predict_fn(s)
-        jax.block_until_ready(fn(self.variables, x, key))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(self.variables, x, key)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / iters
+        dt = pipelined_s(fn, self.variables, x, key, iters=iters)
         b = x.shape[0]
         return {"latency_s": dt, "samples_per_s": b * s / dt,
                 "images_per_s": b / dt, "num_samples": s}

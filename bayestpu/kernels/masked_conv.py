@@ -17,7 +17,8 @@ The input block keeps its full (small) spatial extent resident in VMEM as
 a static spatial slice reshaped to 2D and fed to the MXU against the
 ``(block_c, block_f)`` weight slice, accumulating in an f32/int32 scratch
 over a reduction grid axis on input channels. On a v5e this matches or beats
-XLA's own conv lowering at the zoo's shapes (32×32: ~46 vs ~43 TF/s f32)
+XLA's own conv lowering at the zoo's shapes (fetch-fenced: parity-to-1.4×
+across 32×32/16×16/8×8, see RESULTS.md)
 *before* counting the saved mask round-trip. Stride-1 only — strided Bayes
 sites fall back to ``BayesConvInput`` + XLA conv (1×1 stride-1 sites lower
 to the ``masked_matmul`` family instead).
@@ -112,22 +113,21 @@ class _Geom:
         budget = 12 * 2 ** 20
         target = 2048 if num_samples == 1 else 1024
         fa_full = _align(f, 128)
-        if block_b and block_f != 128:
-            self.bb, self.bf = min(block_b, n), min(block_f, fa_full)
-        else:
-            # Prefer a FULL-F weight tile (single j step): the x tile then
-            # streams from HBM exactly once per (i, c) and the in-kernel
-            # mask is generated once, not per output-channel tile. Shrink
-            # bb, then bf, until the working set fits the VMEM budget.
-            bf = fa_full if block_f == 128 else min(block_f, fa_full)
-            bb = max(1, min(n, target // (self.ho * self.wa)))
+        # block_b/block_f = 0 → auto. Auto prefers a FULL-F weight tile
+        # (single j step): the x tile then streams from HBM exactly once per
+        # (i, c) and the in-kernel mask is generated once, not per
+        # output-channel tile. Auto knobs shrink until the working set fits
+        # the VMEM budget; pinned knobs are honored as given.
+        bf = min(block_f, fa_full) if block_f else fa_full
+        bb = min(block_b, n) if block_b else max(
+            1, min(n, target // (self.ho * self.wa)))
+        if not block_b:
             while vmem(bb, bf) > budget and bb > 1:
                 bb = (bb + 1) // 2
+        if not block_f:
             while vmem(bb, bf) > budget and bf > 128:
                 bf = _align(bf // 2, 128)
-            self.bb, self.bf = bb, bf
-            if block_b:
-                self.bb = min(block_b, n)
+        self.bb, self.bf = bb, bf
         self.na = _align(n, self.bb)
         self.ca = _align(c, self.bc)
         self.fa = _align(f, self.bf)
@@ -233,7 +233,7 @@ def _conv_ref(x, w, padding):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def dropout_conv(x: jax.Array, w: jax.Array, seeds: jax.Array, rate: float,
                  padding: str = "SAME", block_b: int = 0, block_c: int = 128,
-                 block_f: int = 128, interpret: bool = False) -> jax.Array:
+                 block_f: int = 0, interpret: bool = False) -> jax.Array:
     """``conv(dropout(x), w)`` with the Bernoulli mask fused into the kernel.
 
     x: (N, H, W, C) NHWC; w: (KH, KW, C, F) HWIO; seeds: (2,) int32; stride 1,
@@ -331,7 +331,7 @@ def _dropout_conv_samples_kernel(seed_ref, x_ref, w_ref, o_ref, acc_ref, *,
 
 def dropout_conv_samples(x: jax.Array, w: jax.Array, seeds: jax.Array,
                          rate: float, padding: str = "SAME", block_b: int = 0,
-                         block_c: int = 128, block_f: int = 128,
+                         block_c: int = 128, block_f: int = 0,
                          interpret: bool = False) -> jax.Array:
     """All-samples fused MC conv: ``stack([conv(dropout_s(x), w) for s])``.
 
@@ -411,7 +411,7 @@ def _conv_inference_vmapped(rate, padding, block_b, block_c, block_f,
 def dropout_conv_inference(x: jax.Array, w: jax.Array, seeds: jax.Array,
                            rate: float, padding: str = "SAME",
                            block_b: int = 0, block_c: int = 128,
-                           block_f: int = 128,
+                           block_f: int = 0,
                            interpret: bool = False) -> jax.Array:
     """``dropout_conv`` for the no-grad inference path: a seeds-mapped vmap
     collapses to ``dropout_conv_samples`` launches (x fetched once per S)."""
@@ -516,7 +516,7 @@ def _bank_conv_call(kernel, g: _Geom, idx, xp, wp, bankp, out_lead,
 
 def bank_conv(x: jax.Array, w: jax.Array, bank: jax.Array,
               sample_idx: jax.Array, padding: str = "SAME", block_b: int = 0,
-              block_c: int = 128, block_f: int = 128,
+              block_c: int = 128, block_f: int = 0,
               interpret: bool = False) -> jax.Array:
     """``conv(x ⊙ bank[sample_idx], w)`` — Masksembles fused conv.
 
@@ -535,7 +535,7 @@ def bank_conv(x: jax.Array, w: jax.Array, bank: jax.Array,
 def bank_conv_samples(x: jax.Array, w: jax.Array, bank: jax.Array,
                       sample_idxs: jax.Array, padding: str = "SAME",
                       block_b: int = 0, block_c: int = 128,
-                      block_f: int = 128, interpret: bool = False
+                      block_f: int = 0, interpret: bool = False
                       ) -> jax.Array:
     """All-masks fused Masksembles conv: one launch for every mask index,
     x tiles fetched once. Returns (S, N, H_out, W_out, F)."""
@@ -584,7 +584,7 @@ def _bank_conv_inference_vmapped(padding, block_b, block_c, block_f,
 def bank_conv_inference(x: jax.Array, w: jax.Array, bank: jax.Array,
                         sample_idx: jax.Array, padding: str = "SAME",
                         block_b: int = 0, block_c: int = 128,
-                        block_f: int = 128,
+                        block_f: int = 0,
                         interpret: bool = False) -> jax.Array:
     """``bank_conv`` with a vmap rule collapsing a mask-index-mapped call
     into ``bank_conv_samples`` launches."""
@@ -620,7 +620,7 @@ def _dropout_conv_int8_kernel(seed_ref, x_ref, w_ref, o_ref, acc_ref, *,
 def dropout_conv_int8(x_q: jax.Array, w_q: jax.Array, seeds: jax.Array,
                       rate: float, x_step: float, w_step: float,
                       padding: str = "SAME", block_b: int = 0,
-                      block_c: int = 128, block_f: int = 128,
+                      block_c: int = 128, block_f: int = 0,
                       interpret: bool = False) -> jax.Array:
     """``dequant(conv(dropout(x_q), w_q))`` fully in int8 on the MXU.
 
@@ -696,7 +696,7 @@ def dropout_conv_int8_samples(x_q: jax.Array, w_q: jax.Array,
                               seeds: jax.Array, rate: float, x_step: float,
                               w_step: float, padding: str = "SAME",
                               block_b: int = 0, block_c: int = 128,
-                              block_f: int = 128,
+                              block_f: int = 0,
                               interpret: bool = False) -> jax.Array:
     """All-samples int8 fused MC conv: row s bit-identical to
     ``dropout_conv_int8(x_q, w_q, seeds[s], ...)``; the int8 x tile is
@@ -766,7 +766,7 @@ def dropout_conv_int8_inference(x_q: jax.Array, w_q: jax.Array,
                                 seeds: jax.Array, rate: float,
                                 x_step: float, w_step: float,
                                 padding: str = "SAME", block_b: int = 0,
-                                block_c: int = 128, block_f: int = 128,
+                                block_c: int = 128, block_f: int = 0,
                                 interpret: bool = False) -> jax.Array:
     """``dropout_conv_int8`` with the seeds-mapped vmap collapse rule."""
     return _conv_int8_inference_vmapped(
@@ -811,7 +811,7 @@ def bank_conv_int8_samples(x_q: jax.Array, w_q: jax.Array, bank: jax.Array,
                            sample_idxs: jax.Array, x_step: float,
                            w_step: float, padding: str = "SAME",
                            block_b: int = 0, block_c: int = 128,
-                           block_f: int = 128,
+                           block_f: int = 0,
                            interpret: bool = False) -> jax.Array:
     """All-masks int8 fused Masksembles conv (x fetched once per S)."""
     assert x_q.dtype == jnp.int8 and w_q.dtype == jnp.int8
@@ -863,7 +863,7 @@ def bank_conv_int8_inference(x_q: jax.Array, w_q: jax.Array,
                              bank: jax.Array, sample_idx: jax.Array,
                              x_step: float, w_step: float,
                              padding: str = "SAME", block_b: int = 0,
-                             block_c: int = 128, block_f: int = 128,
+                             block_c: int = 128, block_f: int = 0,
                              interpret: bool = False) -> jax.Array:
     """``bank_conv_int8`` with the sample-index vmap collapse rule."""
     return _bank_conv_int8_inference_vmapped(
@@ -892,7 +892,7 @@ def _bank_conv_int8_kernel(idx_ref, x_ref, w_ref, bank_ref, o_ref, acc_ref,
 def bank_conv_int8(x_q: jax.Array, w_q: jax.Array, bank: jax.Array,
                    sample_idx: jax.Array, x_step: float, w_step: float,
                    padding: str = "SAME", block_b: int = 0,
-                   block_c: int = 128, block_f: int = 128,
+                   block_c: int = 128, block_f: int = 0,
                    interpret: bool = False) -> jax.Array:
     """Masksembles fused conv on the int8 MXU path (binary bank carried as
     int8, row picked by scalar prefetch)."""

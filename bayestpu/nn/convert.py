@@ -183,7 +183,7 @@ class Sequential(nn.Module):
                 feat = x
                 if pending is not None:
                     x = BayesDense(s.features, bayes=pending, fused=True,
-                                   quant=self.quant,
+                                   quant=self.quant, dtype=self.dtype,
                                    name=f"dense_{i}")(x, **site_kw)
                     pending = None
                 else:

@@ -185,7 +185,8 @@ class BayesConv(nn.Module):
                 key = self.make_rng(BAYES_RNG)
                 seeds = jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
                 cc = dropout_conv if train else dropout_conv_inference
-                y = cc(x, kernel, seeds, self.bayes.rate, self.padding,
+                y = cc(x.astype(self.dtype), kernel.astype(self.dtype),
+                       seeds, self.bayes.rate, self.padding,
                        interpret=_use_interpret())
             else:
                 xm = BayesianDropout(rate=self.bayes.rate, name="drop")(
@@ -208,13 +209,19 @@ class BayesConv(nn.Module):
 
 
 class BayesDense(nn.Module):
-    """(Bayesian mask → Dense) with optional Pallas fusion."""
+    """(Bayesian mask → Dense) with optional Pallas fusion.
+
+    ``dtype`` is the MXU compute dtype for the MC-dropout and plain paths
+    (params stay f32). Masksembles fused paths compute in f32 so the
+    fused-vs-unfused per-mask comparison stays exact (the reference's golden
+    protocol, ``verify_accuracy.py:88-92``)."""
 
     features: int
     bayes: BayesConfig = BayesConfig()
     use_bias: bool = True
     fused: bool = True
     quant: QuantConfig | None = None
+    dtype: jnp.dtype = jnp.float32
     bank_seed: int = 0
 
     @nn.compact
@@ -280,17 +287,20 @@ class BayesDense(nn.Module):
                 # inference variant carries the vmap rule that collapses the
                 # engine's sample-vmapped call into one multi-sample kernel
                 mm = dropout_matmul if train else dropout_matmul_inference
-                y = mm(x, kernel, seeds, self.bayes.rate,
-                       interpret=_use_interpret())
+                y = mm(x.astype(self.dtype), kernel.astype(self.dtype),
+                       seeds, self.bayes.rate, interpret=_use_interpret())
             else:
                 xm = BayesianDropout(rate=self.bayes.rate, name="drop")(
                     x, sample_idx=sample_idx, train=train)
-                y = jnp.dot(xm, kernel, preferred_element_type=jnp.float32)
+                y = jnp.dot(xm.astype(self.dtype),
+                            kernel.astype(self.dtype),
+                            preferred_element_type=jnp.float32)
         elif int8_fused:
             y = dropout_matmul_int8(xq, wq, jnp.zeros((2,), jnp.int32), 0.0,
                                     xs, ws, interpret=_use_interpret())
         else:
-            y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                        preferred_element_type=jnp.float32)
 
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,

@@ -85,7 +85,7 @@ class LeNet(nn.Module):
         x = x.reshape((x.shape[0], -1))
         # Site 1 feeds fc_1: fuse into the masked-matmul kernel.
         if _site_on(1, nb) and self.fused:
-            x = BayesDense(100, bayes=self.bayes, fused=True, quant=q,
+            x = BayesDense(100, bayes=self.bayes, fused=True, quant=q, dtype=dt,
                            name="fc_1")(x, sample_idx=sample_idx, train=train)
         else:
             if _site_on(1, nb):
@@ -97,7 +97,8 @@ class LeNet(nn.Module):
         head_bayes = self.bayes if _site_on(2, nb) else dataclasses.replace(
             self.bayes, kind=DropoutKind.NONE)
         logits = BayesDense(self.num_classes, bayes=head_bayes,
-                            fused=self.fused, quant=q, name="fc_2")(
+                            fused=self.fused, quant=q, dtype=dt,
+                            name="fc_2")(
             x, sample_idx=sample_idx, train=train)
         return stack_exits([logits], [feat])
 
@@ -137,7 +138,7 @@ class LeNetME(nn.Module):
         e = QuantAct(quant=q, name="relu3_2nd_exit")(e)
         feat_e = e
         exit_early = BayesDense(self.num_classes, bayes=self.bayes,
-                                fused=self.fused, quant=q,
+                                fused=self.fused, quant=q, dtype=dt,
                                 name="fc_2nd_exit")(
             e, sample_idx=sample_idx, train=train)
 
@@ -151,7 +152,7 @@ class LeNetME(nn.Module):
         x = QuantAct(quant=q, name="relu3")(x)
         feat_m = x
         exit_main = BayesDense(self.num_classes, bayes=self.bayes,
-                               fused=self.fused, quant=q,
+                               fused=self.fused, quant=q, dtype=dt,
                                name="fc_exit_1st")(
             x, sample_idx=sample_idx, train=train)
 

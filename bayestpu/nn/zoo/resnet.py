@@ -121,7 +121,7 @@ class _ExitHead(nn.Module):
             kind=DropoutKind.NONE)
         logit = BayesDense(self.num_classes, bayes=head_bayes,
                            fused=self.fused, quant=self.quant,
-                           name="linear")(
+                           dtype=self.dtype, name="linear")(
             feat, sample_idx=sample_idx, train=train)
         return logit, feat
 
@@ -183,7 +183,8 @@ class ResNet18(nn.Module):
         final_bayes = self.bayes if self.dropout_exit else dataclasses.replace(
             self.bayes, kind=DropoutKind.NONE)
         final = BayesDense(self.num_classes, bayes=final_bayes,
-                           fused=self.fused, quant=q, name="linear")(
+                           fused=self.fused, quant=q, dtype=dt,
+                           name="linear")(
             feat, **site_kw)
         exits.append(final)
         feats.append(feat)

@@ -108,7 +108,7 @@ class _VGGExitHead(nn.Module):
             kind=DropoutKind.NONE)
         logit = BayesDense(self.num_classes, bayes=head_bayes,
                            fused=self.fused, quant=self.quant,
-                           name="linear")(
+                           dtype=self.dtype, name="linear")(
             feat, sample_idx=sample_idx, train=train)
         return logit, feat
 
@@ -186,7 +186,8 @@ class VGG(nn.Module):
         final_bayes = self.bayes if self.dropout_exit else dataclasses.replace(
             self.bayes, kind=DropoutKind.NONE)
         final = BayesDense(self.num_classes, bayes=final_bayes,
-                           fused=self.fused, quant=q, name="classifier")(
+                           fused=self.fused, quant=q, dtype=dt,
+                           name="classifier")(
             out, **site_kw)
         exits.append(final)
         feats.append(feat)

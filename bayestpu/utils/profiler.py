@@ -62,14 +62,11 @@ def cost_report(fn: Callable, *args: Any) -> dict:
 
 
 def measure(fn: Callable, *args: Any, iters: int = 20) -> float:
-    """Median-free simple wall time per call of a jitted fn (seconds)."""
-    jfn = jax.jit(fn)
-    jax.block_until_ready(jfn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jfn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    """Per-call wall time of a jitted fn (seconds), value-fetch fenced
+    (``block_until_ready`` does not fence execution over the tunnel —
+    see ``bench.timing``)."""
+    from bayestpu.utils.timing import pipelined_s
+    return pipelined_s(jax.jit(fn), *args, iters=iters, repeats=2)
 
 
 def chip_generation() -> str:

@@ -30,18 +30,16 @@ from bayestpu.nn.zoo import get_model
 
 
 def measure_at(model, variables, x, num_samples: int, n_dev: int) -> float:
+    from bench.timing import pipelined_s
+
     mesh = sharding.make_mesh(1, n_dev, devices=jax.devices()[:n_dev])
     key = jax.random.key(0)
-    # warm (compiles)
-    jax.block_until_ready(sharding.sharded_predictive(
-        model, variables, x, key, num_samples, mesh).probs)
-    t0 = time.perf_counter()
-    iters = 5
-    for _ in range(iters):
-        out = sharding.sharded_predictive(model, variables, x, key,
-                                          num_samples, mesh)
-    jax.block_until_ready(out.probs)
-    dt = (time.perf_counter() - t0) / iters
+
+    def run(vs, xb, k):
+        return sharding.sharded_predictive(model, vs, xb, k, num_samples,
+                                           mesh).probs
+
+    dt = pipelined_s(run, variables, x, key, iters=5, repeats=2)
     return x.shape[0] * num_samples / dt
 
 
