@@ -382,3 +382,27 @@ def test_int8_conv_samples_and_vmap_collapse():
     ybv = jax.vmap(lambda i: mc.bank_conv_int8_inference(
         xq, wq, bank, i, 0.5, 0.25, pad, interpret=INTERP))(idxs)
     assert jnp.array_equal(ybv, yb1)
+
+
+def test_bayes_conv_bf16_dtype_path():
+    """dtype=bfloat16 runs the fused kernels on bf16 tiles (MXU bf16 rate);
+    values match the f32 path to bf16 rounding."""
+    cfg = BayesConfig(kind=DropoutKind.MC, rate=0.3)
+    x = jnp.asarray(np.random.default_rng(22).normal(size=(4, 8, 8, 16)),
+                    jnp.float32)
+    m16 = BayesConv(8, (3, 3), bayes=cfg, dtype=jnp.bfloat16)
+    m32 = BayesConv(8, (3, 3), bayes=cfg, dtype=jnp.float32)
+    v = m16.init({"params": jax.random.PRNGKey(0),
+                  "bayes": jax.random.PRNGKey(1)}, x)
+    r = {"bayes": jax.random.PRNGKey(5)}
+    y16 = m16.apply(v, x, rngs=r)
+    y32 = m32.apply(v, x, rngs=r)
+    assert y16.dtype == jnp.float32  # accumulate/output stays f32
+    # same seeds -> same masks; differences are bf16 rounding only
+    np.testing.assert_allclose(y16, y32, rtol=2e-2, atol=2e-2)
+    from bayestpu.nn.fused import BayesDense
+    d16 = BayesDense(8, bayes=cfg, dtype=jnp.bfloat16)
+    vd = d16.init({"params": jax.random.PRNGKey(0),
+                   "bayes": jax.random.PRNGKey(1)}, x.reshape(4, -1))
+    yd = d16.apply(vd, x.reshape(4, -1), rngs=r)
+    assert yd.shape == (4, 8) and bool(jnp.all(jnp.isfinite(yd)))
