@@ -125,12 +125,18 @@ class BayesConv(nn.Module):
             preferred_element_type=jnp.float32)
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False
-                 ) -> jax.Array:
+    def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False,
+                 fold_scale: jax.Array | None = None,
+                 fold_bias: jax.Array | None = None) -> jax.Array:
         in_ch = x.shape[-1]
         kshape = tuple(self.kernel_size) + (in_ch, self.features)
         kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape,
                             jnp.float32)
+        if fold_scale is not None:
+            # BN folding (ConvBN inference): scale the kernel per output
+            # channel BEFORE quantization — the reference's fused
+            # QConv2DBatchnorm quantizes the folded kernel (qmodels.py:163)
+            kernel = kernel * fold_scale
         kind = self.bayes.kind
         fusable = self._can_fuse()
         int8_fused = (self.quant is not None and self.quant.int8_infer
@@ -196,6 +202,17 @@ class BayesConv(nn.Module):
             y = dropout_conv_int8(xq, wq, jnp.zeros((2,), jnp.int32), 0.0,
                                   xs, ws, self.padding,
                                   interpret=_use_interpret())
+        elif (self.quant is not None and self.quant.int8_infer
+              and not train):
+            # strided / non-fusable int8 conv: XLA int8 MXU path
+            xq2, xs2 = quantize_int8(x, self.quant)
+            wq2, ws2 = quantize_int8(kernel, self.quant)
+            acc = jax.lax.conv_general_dilated(
+                xq2, wq2, window_strides=tuple(self.strides),
+                padding=self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * (xs2 * ws2)
         else:
             y = self._xla_conv(x, kernel)
 
@@ -205,6 +222,8 @@ class BayesConv(nn.Module):
             if self.quant is not None:
                 bias = fake_quant(bias, self.quant)
             y = y + bias
+        if fold_bias is not None:
+            y = y + fold_bias
         return y
 
 

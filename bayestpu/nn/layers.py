@@ -152,24 +152,34 @@ class ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False, sample_idx=0
                  ) -> jax.Array:
-        if self.bayes is not None and getattr(self.bayes, "kind", None) is not None \
-                and self.bayes.kind.name != "NONE":
-            from bayestpu.nn.fused import BayesConv
-            y = BayesConv(features=self.features,
-                          kernel_size=tuple(self.kernel_size),
-                          strides=tuple(self.strides), padding=self.padding,
-                          bayes=self.bayes, use_bias=False, fused=self.fused,
-                          quant=self.quant, dtype=self.dtype, name="conv")(
-                x, sample_idx=sample_idx, train=train)
-        else:
-            y = Conv(features=self.features, kernel_size=self.kernel_size,
-                     strides=self.strides, padding=self.padding,
-                     use_bias=False, quant=self.quant, dtype=self.dtype,
-                     name="conv")(x)
-        y = nn.BatchNorm(use_running_average=not train,
-                         momentum=self.momentum, epsilon=self.epsilon,
-                         name="bn")(y)
-        return y
+        from bayestpu.core.config import BayesConfig, DropoutKind
+        from bayestpu.nn.fused import BayesConv
+
+        bayes = self.bayes if (self.bayes is not None
+                               and self.bayes.kind is not DropoutKind.NONE
+                               ) else BayesConfig(kind=DropoutKind.NONE)
+        conv = BayesConv(features=self.features,
+                         kernel_size=tuple(self.kernel_size),
+                         strides=tuple(self.strides), padding=self.padding,
+                         bayes=bayes, use_bias=False, fused=self.fused,
+                         quant=self.quant, dtype=self.dtype, name="conv")
+        bn = nn.BatchNorm(use_running_average=not train,
+                          momentum=self.momentum, epsilon=self.epsilon,
+                          name="bn")
+        if train:
+            return bn(conv(x, sample_idx=sample_idx, train=True))
+        # Inference: fold the running BN stats into the conv weights — one
+        # elementwise pass over the (KH,KW,C,F) kernel instead of the
+        # (B,H,W,F) activation (XLA does NOT fuse the post-conv BN pass;
+        # measured 3× per ConvBN at 32×32 flagship shapes). This is exactly
+        # the reference's fused QConv2DBatchnorm (``qmodels.py:163-176``),
+        # which also quantizes the FOLDED kernel.
+        bn(jnp.zeros((1, 1, 1, self.features), jnp.float32))  # make vars
+        pb = self.get_variable("params", "bn")
+        sb = self.get_variable("batch_stats", "bn")
+        inv = jax.lax.rsqrt(sb["var"] + self.epsilon) * pb["scale"]
+        return conv(x, sample_idx=sample_idx, train=False,
+                    fold_scale=inv, fold_bias=pb["bias"] - sb["mean"] * inv)
 
 
 def max_pool(x: jax.Array, window: int | tuple[int, int],
