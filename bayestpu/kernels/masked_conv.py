@@ -181,14 +181,31 @@ def _tile_mask_bits(g: _Geom, shape, stream, n0, c0) -> jax.Array:
     return _coord_bits(grow, gcol, stream)
 
 
+def _tap_views(g: _Geom, xm):
+    """Yield (dh, dw, a_2d) for every kernel tap. The dw slice is a SUBLANE
+    shift (a real VPU copy in Mosaic); hoisting it out of the dh loop does
+    kw shifts instead of kh·kw (+33% at 16×16 shapes on-chip). At tiny
+    widths (wa < 16) the extra resident copies cost more than they save, so
+    the inline form is kept there."""
+    ch = xm.shape[-1]
+    if g.kw > 1 and g.wa >= 16:
+        xw = [xm[:, :, dw:dw + g.wa, :] for dw in range(g.kw)]
+        for dh in range(g.kh):
+            for dw in range(g.kw):
+                yield dh, dw, xw[dw][:, dh:dh + g.ho, :, :].reshape(g.m, ch)
+    else:
+        for dh in range(g.kh):
+            for dw in range(g.kw):
+                yield dh, dw, xm[:, dh:dh + g.ho, dw:dw + g.wa, :].reshape(
+                    g.m, ch)
+
+
 def _taps_matmul(g: _Geom, xm, w_ref, acc, *, acc_dtype=jnp.float32):
     """acc += Σ_{dh,dw} slice(xm) @ w[dh, dw] — the shifted-matmul core."""
-    for dh in range(g.kh):
-        for dw in range(g.kw):
-            a = xm[:, dh:dh + g.ho, dw:dw + g.wa, :].reshape(g.m, xm.shape[-1])
-            acc[:] += jax.lax.dot_general(
-                a, w_ref[dh, dw], dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=acc_dtype)
+    for dh, dw, a in _tap_views(g, xm):
+        acc[:] += jax.lax.dot_general(
+            a, w_ref[dh, dw], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype)
 
 
 # ---------------------------------------------------------------- MC dropout
@@ -313,12 +330,9 @@ def _dropout_conv_samples_kernel(seed_ref, x_ref, w_ref, o_ref, acc_ref, *,
                                i * g.bb, c * g.bc)
         xm = jnp.where(bits < thresh, x * scale, 0.0)
         acc = acc_ref[s]
-        for dh in range(g.kh):
-            for dw in range(g.kw):
-                a = xm[:, dh:dh + g.ho, dw:dw + g.wa, :].reshape(
-                    g.m, x.shape[-1])
-                acc = acc + jnp.dot(a, w_ref[dh, dw],
-                                    preferred_element_type=jnp.float32)
+        for dh, dw, a in _tap_views(g, xm):
+            acc = acc + jnp.dot(a, w_ref[dh, dw],
+                                preferred_element_type=jnp.float32)
         acc_ref[s] = acc
         return 0
 
@@ -464,12 +478,9 @@ def _bank_conv_samples_kernel(idx_ref, x_ref, w_ref, bank_ref, o_ref,
         row = _bank_select_row(idx_ref[s], bank_ref, jnp.float32)
         xm = x * row.reshape(1, 1, 1, -1)
         acc = acc_ref[s]
-        for dh in range(g.kh):
-            for dw in range(g.kw):
-                a = xm[:, dh:dh + g.ho, dw:dw + g.wa, :].reshape(
-                    g.m, x.shape[-1])
-                acc = acc + jnp.dot(a, w_ref[dh, dw],
-                                    preferred_element_type=jnp.float32)
+        for dh, dw, a in _tap_views(g, xm):
+            acc = acc + jnp.dot(a, w_ref[dh, dw],
+                                preferred_element_type=jnp.float32)
         acc_ref[s] = acc
         return 0
 
@@ -674,14 +685,11 @@ def _dropout_conv_int8_samples_kernel(seed_ref, x_ref, w_ref, o_ref,
                                i * g.bb, c * g.bc)
         xm = jnp.where(bits < thresh, x, 0)
         acc = acc_ref[s]
-        for dh in range(g.kh):
-            for dw in range(g.kw):
-                a = xm[:, dh:dh + g.ho, dw:dw + g.wa, :].reshape(
-                    g.m, x.shape[-1])
-                acc = acc + jax.lax.dot_general(
-                    a, w_ref[dh, dw],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
+        for dh, dw, a in _tap_views(g, xm):
+            acc = acc + jax.lax.dot_general(
+                a, w_ref[dh, dw],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
         acc_ref[s] = acc
         return 0
 
@@ -789,14 +797,11 @@ def _bank_conv_int8_samples_kernel(idx_ref, x_ref, w_ref, bank_ref, o_ref,
         row = _bank_select_row(idx_ref[s], bank_ref, jnp.int32)
         xm = jnp.where(row.reshape(1, 1, 1, -1) > 0, x, 0)
         acc = acc_ref[s]
-        for dh in range(g.kh):
-            for dw in range(g.kw):
-                a = xm[:, dh:dh + g.ho, dw:dw + g.wa, :].reshape(
-                    g.m, x.shape[-1])
-                acc = acc + jax.lax.dot_general(
-                    a, w_ref[dh, dw],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
+        for dh, dw, a in _tap_views(g, xm):
+            acc = acc + jax.lax.dot_general(
+                a, w_ref[dh, dw],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
         acc_ref[s] = acc
         return 0
 
