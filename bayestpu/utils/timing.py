@@ -40,17 +40,18 @@ def fenced_window_s(fn, *args, iters: int) -> float:
 
 
 def pipelined_windows_s(fn, *args, iters: int = 50, warmup: int = 1,
-                        repeats: int = 3, min_diff_s: float = 0.03,
-                        max_iters: int = 12800) -> list[float]:
+                        repeats: int = 3, min_diff_s: float = 0.3,
+                        max_iters: int = 25600) -> list[float]:
     """Per-call device time estimates (seconds), sorted ascending.
 
     Each estimate is ``(T(2k) − T(k)) / k`` over fetch-fenced windows: the
     RTT and fixed costs cancel, leaving steady-state per-call time (device
     work or host dispatch, whichever actually bottlenecks). The window size
-    auto-scales until the k-call difference dominates the fetch-RTT jitter
-    (~tens of ms) — without this, fast calls produce near-zero or negative
-    differences and garbage throughput. Callers report min (best) and
-    median (steady state)."""
+    auto-scales until the k-call difference is ~10× the fetch-RTT jitter
+    (tens of ms) — without this, fast calls produce near-zero or negative
+    differences and garbage throughput. Report the MEDIAN
+    (``pipelined_median_s``): the min of noisy differences systematically
+    selects maximum jitter and inflates throughput."""
     for _ in range(max(warmup, 1)):
         _fence(fn(*args))
     k = max(iters, 1)
@@ -75,7 +76,16 @@ def pipelined_windows_s(fn, *args, iters: int = 50, warmup: int = 1,
 
 def pipelined_s(fn, *args, iters: int = 50, warmup: int = 1,
                 repeats: int = 3) -> float:
-    """Best-window per-call device time (seconds)."""
+    """Median-window per-call device time (seconds) — the robust default
+    (the best window under-reads by whatever the RTT jitter gave back)."""
+    w = pipelined_windows_s(fn, *args, iters=iters, warmup=warmup,
+                            repeats=repeats)
+    return w[len(w) // 2]
+
+
+def pipelined_best_s(fn, *args, iters: int = 50, warmup: int = 1,
+                     repeats: int = 3) -> float:
+    """Best-window per-call time — optimistic; prefer ``pipelined_s``."""
     return pipelined_windows_s(fn, *args, iters=iters, warmup=warmup,
                                repeats=repeats)[0]
 
