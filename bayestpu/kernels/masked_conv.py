@@ -242,9 +242,17 @@ def mask_apply_nhwc(x: jax.Array, seeds: jax.Array, rate: float,
 
 
 def _conv_ref(x, w, padding):
-    return jax.lax.conv_general_dilated(
-        x, w, (1, 1), padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+    if x.dtype == jnp.float32:
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+    # bf16 etc.: JAX's conv VJP rejects preferred_element_type != operand
+    # dtype (the transposed conv receives the f32 cotangent + bf16 operand),
+    # so compute in-dtype (MXU still accumulates f32 internally) and upcast.
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), padding, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y.astype(jnp.float32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
@@ -298,8 +306,10 @@ def _dropout_conv_bwd(rate, padding, block_b, block_c, block_f, interpret,
         dx, dw = vjp(gy)
         return dx.astype(x.dtype), dw.astype(w.dtype), None
     # y = conv(mask·x/keep, w): regenerate the mask (never stored) and reuse
-    # XLA's conv transposes for the heavy lifting.
-    xm = mask_apply_nhwc(x, seeds, rate, interpret)
+    # XLA's conv transposes for the heavy lifting. The mask kernel emits
+    # f32; cast back — conv_general_dilated requires matching dtypes (bf16
+    # models hit this in the backward pass).
+    xm = mask_apply_nhwc(x, seeds, rate, interpret).astype(x.dtype)
     _, vjp = jax.vjp(lambda a, b: _conv_ref(a, b, padding), xm, w)
     dxm, dw = vjp(gy)
     dx = mask_apply_nhwc(dxm, seeds, rate, interpret)

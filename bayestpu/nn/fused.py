@@ -118,11 +118,19 @@ class BayesConv(nn.Module):
                 and self.padding in ("SAME", "VALID"))
 
     def _xla_conv(self, x, kernel):
+        xd = x.astype(self.dtype)
+        kd = kernel.astype(self.dtype)
+        if self.dtype == jnp.float32:
+            return jax.lax.conv_general_dilated(
+                xd, kd, window_strides=tuple(self.strides),
+                padding=self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+        # conv VJP rejects preferred_element_type != operand dtype; compute
+        # in-dtype and upcast (MXU accumulates f32 internally regardless)
         return jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=tuple(self.strides), padding=self.padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            xd, kd, window_strides=tuple(self.strides), padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(jnp.float32)
 
     @nn.compact
     def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False,

@@ -95,11 +95,22 @@ class Conv(nn.Module):
             y = acc.astype(jnp.float32) * (xs * ws)
         else:
             kernel = _maybe_quant(kernel, self.quant)
-            y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), kernel.astype(self.dtype),
-                window_strides=tuple(self.strides), padding=self.padding,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32)
+            xd = x.astype(self.dtype)
+            kd = kernel.astype(self.dtype)
+            if self.dtype == jnp.float32:
+                y = jax.lax.conv_general_dilated(
+                    xd, kd, window_strides=tuple(self.strides),
+                    padding=self.padding,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32)
+            else:
+                # conv VJP rejects preferred_element_type != operand dtype;
+                # compute in-dtype and upcast (MXU accumulates f32 anyway)
+                y = jax.lax.conv_general_dilated(
+                    xd, kd, window_strides=tuple(self.strides),
+                    padding=self.padding,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")
+                ).astype(jnp.float32)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,),
                               jnp.float32)
