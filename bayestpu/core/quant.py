@@ -49,17 +49,36 @@ def fake_quant(x: jax.Array, cfg: QuantConfig) -> jax.Array:
     return x + jax.lax.stop_gradient(q - x)
 
 
+def int8_step(cfg: QuantConfig) -> float:
+    """The static LSB weight of the int8 ap_fixed grid (2^(ibits-7)).
+
+    One step serves every activation/weight tensor in a model because the
+    reference's quantizers are static ``quantized_bits(tbit, ibit, alpha=1)``
+    grids, not data-dependent scales — which is what makes layer-to-layer
+    int8 residency a pure dataflow change (``hls4ml_build.py:69-71``)."""
+    if cfg.total_bits != 8:
+        raise ValueError("int8 path requires total_bits == 8")
+    return 2.0 ** (cfg.integer_bits - 7)
+
+
 def quantize_int8(x: jax.Array, cfg: QuantConfig) -> tuple[jax.Array, float]:
     """Quantize to an int8 tensor + static scale on the ap_fixed grid.
 
     Returns ``(values_int8, step)`` with ``x ≈ values * step``. Requires
-    ``total_bits == 8``.
+    ``total_bits == 8``. An already-int8 input is passed through (it is by
+    construction on the grid — the residency fast path).
     """
-    if cfg.total_bits != 8:
-        raise ValueError("int8 path requires total_bits == 8")
-    step = 2.0 ** (cfg.integer_bits - 7)
+    step = int8_step(cfg)
+    if x.dtype == jnp.int8:
+        return x, step
     q = jnp.clip(_round_ap_rnd(x / step), -128, 127).astype(jnp.int8)
     return q, step
+
+
+def dequantize_int8(x: jax.Array, cfg: QuantConfig,
+                    dtype=jnp.float32) -> jax.Array:
+    """int8-on-grid → float (exact; every grid point is f32-representable)."""
+    return x.astype(dtype) * int8_step(cfg)
 
 
 def int8_matmul(x_q: jax.Array, w_q: jax.Array, x_step: float, w_step: float,

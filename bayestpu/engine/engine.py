@@ -64,6 +64,7 @@ class BayesEngine:
         self.variables: Any = None
         self._compiled = {}
         self._jitted = {}   # num_samples → jitted predict fn (trace cache)
+        self._tuned: dict | None = None   # autotune report (mode=AUTO)
 
     # ------------------------------------------------------------ lifecycle
 
@@ -76,10 +77,20 @@ class BayesEngine:
         self.variables = variables
         return self
 
-    def _predict_fn(self, num_samples: int):
-        if num_samples in self._jitted:
-            return self._jitted[num_samples]
-        mode = self.config.mode
+    def _mode(self) -> SamplingMode:
+        if self.config.mode is SamplingMode.AUTO:
+            if self._tuned is None:
+                # untuned AUTO (e.g. predict before compile): spatial is the
+                # right default at batch sizes that fit — autotune() refines
+                return SamplingMode.SPATIAL
+            return SamplingMode(self._tuned["mode"])
+        return self.config.mode
+
+    def _predict_fn(self, num_samples: int, mode: SamplingMode | None = None):
+        mode = self._mode() if mode is None else mode
+        cache = (num_samples, mode)
+        if cache in self._jitted:
+            return self._jitted[cache]
 
         def fn(variables, x, key):
             if mode is SamplingMode.TEMPORAL:
@@ -87,14 +98,42 @@ class BayesEngine:
                                           num_samples)
             return sampler.predictive(self.model, variables, x, key,
                                       num_samples, SamplingMode.SPATIAL)
-        self._jitted[num_samples] = jax.jit(fn)
-        return self._jitted[num_samples]
+        self._jitted[cache] = jax.jit(fn)
+        return self._jitted[cache]
+
+    def autotune(self, sample_input: jax.Array,
+                 num_samples: int | None = None, iters: int = 12) -> dict:
+        """Measure temporal vs spatial for the ACTUAL (model, batch, S) and
+        adopt the winner for subsequent compile/predict/benchmark calls.
+
+        The measured replacement for the reference's hand-optimized
+        per-model Strategy/ReuseFactor tables
+        (``hls4ml_build.py:23-58,88-100``) — there the mapping is chosen by
+        authoring a table per net; here the engine times both mappings
+        (fetch-fenced, ``utils.timing``) and records the decision."""
+        from bayestpu.utils.timing import pipelined_s
+
+        s = sampler.num_effective_samples(self.bayes, num_samples)
+        key = jax.random.key(0)
+        timings = {}
+        for mode in (SamplingMode.SPATIAL, SamplingMode.TEMPORAL):
+            fn = self._predict_fn(s, mode)
+            timings[mode.value] = pipelined_s(
+                fn, self.variables, sample_input, key, iters=iters)
+        win = min(timings, key=timings.get)
+        self._tuned = {"mode": win, "timings_s": timings,
+                       "num_samples": s,
+                       "input_shape": tuple(sample_input.shape)}
+        return dict(self._tuned)
 
     def compile(self, sample_input: jax.Array,
                 num_samples: int | None = None) -> dict:
         """AOT-compile the predict executable (≙ ``compileHlsModel`` —
-        the csim build of the generated design). Returns compile stats."""
+        the csim build of the generated design). Returns compile stats.
+        With ``mode=AUTO`` the mapping is measured first (``autotune``)."""
         s = sampler.num_effective_samples(self.bayes, num_samples)
+        if self.config.mode is SamplingMode.AUTO and self._tuned is None:
+            self.autotune(sample_input, s)
         fn = self._predict_fn(s)
         t0 = time.perf_counter()
         lowered = fn.lower(self.variables, sample_input, jax.random.key(0))
@@ -102,7 +141,8 @@ class BayesEngine:
         dt = time.perf_counter() - t0
         self._compiled[(sample_input.shape, s)] = compiled
         return {"compile_seconds": dt, "num_samples": s,
-                "input_shape": tuple(sample_input.shape)}
+                "input_shape": tuple(sample_input.shape),
+                "mode": self._mode().value}
 
     # ------------------------------------------------------------ inference
 
@@ -145,10 +185,10 @@ class BayesEngine:
 
         Metric math must live inside jit — computed eagerly it is dozens of
         op dispatches per call, each a round trip on a remote chip."""
-        cache_key = ("battery", num_samples, ood, self.config.mode)
+        mode = self._mode()
+        cache_key = ("battery", num_samples, ood, mode)
         if cache_key in self._jitted:
             return self._jitted[cache_key]
-        mode = self.config.mode
 
         def battery(variables, x, y, key, noise):
             if mode is SamplingMode.TEMPORAL:
@@ -219,7 +259,7 @@ class BayesEngine:
         noise = self._noise_for(x, dataset) if ood_check else jnp.zeros((1,))
         battery = self._battery_fn(s, ood_check)
 
-        cache_key = ("battery_rep", s, ood_check, self.config.mode, passes)
+        cache_key = ("battery_rep", s, ood_check, self._mode(), passes)
         if cache_key not in self._jitted:
             def repeated(variables, x, y, k, noise):
                 keys = jax.vmap(lambda p: jax.random.fold_in(k, p))(

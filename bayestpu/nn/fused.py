@@ -23,15 +23,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from bayestpu.core.config import BayesConfig, DropoutKind, QuantConfig
-from bayestpu.core.quant import fake_quant, quantize_int8
+from bayestpu.core.quant import fake_quant, int8_step, quantize_int8
 from bayestpu.core.rng import BAYES_RNG
 from bayestpu.kernels import mask_bank
 from bayestpu.kernels.masked_conv import (
     bank_conv_inference,
     bank_conv_int8_inference,
+    conv_fused,
+    conv_int8_fused,
     dropout_conv,
     dropout_conv_inference,
-    dropout_conv_int8,
     dropout_conv_int8_inference,
 )
 from bayestpu.kernels.masked_matmul import (
@@ -48,6 +49,21 @@ from bayestpu.nn.bayes import MASKS_COLLECTION, BayesianDropout, Masksembles
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _det_conv_pallas(in_ch: int, x_shape, interp: bool) -> bool:
+    """Routing for DETERMINISTIC convs (no mask to fuse): Pallas fused
+    epilogue kernel vs XLA conv + XLA-fused epilogue.
+
+    Measured on a v5e at the zoo's shapes (fetch-fenced, 3×3 SAME, batch
+    128): XLA wins 2× at the early large-spatial/narrow layers
+    (32²×64: 172 µs vs 355 µs bf16, 143 vs 306 int8) while the Pallas
+    shifted-matmul conv wins at the deep narrow-spatial/wide layers
+    (8²×256: 113 vs 123, 4²×512: 133 vs 153; int8 141 vs 185, 170 vs 180).
+    Masked sites always use the Pallas kernels (the in-kernel mask saves an
+    HBM round-trip XLA cannot); deterministic ones route by channel width.
+    """
+    return in_ch >= 256
 
 
 class BayesConvInput(nn.Module):
@@ -117,7 +133,7 @@ class BayesConv(nn.Module):
                 and isinstance(self.padding, str)
                 and self.padding in ("SAME", "VALID"))
 
-    def _xla_conv(self, x, kernel):
+    def _xla_conv(self, x, kernel, train: bool = True):
         xd = x.astype(self.dtype)
         kd = kernel.astype(self.dtype)
         if self.dtype == jnp.float32:
@@ -126,8 +142,13 @@ class BayesConv(nn.Module):
                 padding=self.padding,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.float32)
-        # conv VJP rejects preferred_element_type != operand dtype; compute
-        # in-dtype and upcast (MXU accumulates f32 internally regardless)
+        # bf16: compute in-dtype and upcast. Training because the conv VJP
+        # rejects preferred_element_type != operand dtype; inference because
+        # with bf16 residency the output is rounded to bf16 at the store
+        # anyway, so requesting an f32 output only doubles the conv's write
+        # traffic (measured 1.5× model-level slowdown on vgg11_me) for one
+        # bf16 rounding of the f32 MXU accumulator that the residency cast
+        # performs regardless.
         return jax.lax.conv_general_dilated(
             xd, kd, window_strides=tuple(self.strides), padding=self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(jnp.float32)
@@ -135,7 +156,15 @@ class BayesConv(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False,
                  fold_scale: jax.Array | None = None,
-                 fold_bias: jax.Array | None = None) -> jax.Array:
+                 fold_bias: jax.Array | None = None,
+                 act: str | None = None, act_quant: bool = False,
+                 emit_int8: bool = False) -> jax.Array:
+        """``act``/``act_quant``: a following activation (+ QuantAct-style
+        unsigned fake-quant) folded into the kernel epilogue where possible.
+        ``emit_int8``: caller guarantees every consumer requantizes on the
+        same grid, so the int8 path may emit int8 even without ``act_quant``
+        (bit-identical by construction — see kernels.masked_conv docstring).
+        """
         in_ch = x.shape[-1]
         kshape = tuple(self.kernel_size) + (in_ch, self.features)
         kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape,
@@ -145,15 +174,46 @@ class BayesConv(nn.Module):
             # channel BEFORE quantization — the reference's fused
             # QConv2DBatchnorm quantizes the folded kernel (qmodels.py:163)
             kernel = kernel * fold_scale
+        q = self.quant
         kind = self.bayes.kind
         fusable = self._can_fuse()
-        int8_fused = (self.quant is not None and self.quant.int8_infer
-                      and fusable and not train)
-        if self.quant is not None and not int8_fused:
-            kernel = fake_quant(kernel, self.quant)
-        if int8_fused:
-            xq, xs = quantize_int8(x, self.quant)
-            wq, ws = quantize_int8(kernel, self.quant)
+        int8_mode = q is not None and q.int8_infer and not train
+        int8_fused = int8_mode and fusable
+        if q is not None and not int8_mode:
+            kernel = fake_quant(kernel, q)
+
+        # f32 view of a (possibly int8-residency) input for float branches
+        if x.dtype == jnp.int8:
+            x_f = x.astype(jnp.float32) * int8_step(q)
+        else:
+            x_f = x
+
+        # epilogue bias: conv bias + BN fold, each quantized as the reference
+        # quantizes the folded bias of QConv2DBatchnorm (ADVICE r2 #5)
+        bias_vec = None
+        if self.use_bias:
+            bias_vec = self.param("bias", nn.initializers.zeros,
+                                  (self.features,), jnp.float32)
+            if q is not None:
+                bias_vec = fake_quant(bias_vec, q)
+        if fold_bias is not None:
+            fb = fake_quant(fold_bias, q) if q is not None else fold_bias
+            bias_vec = fb if bias_vec is None else bias_vec + fb
+
+        # int8 residency: emit int8 when a ReLU is fused AND either an
+        # explicit QuantAct follows (act_quant) or the caller guarantees all
+        # consumers requantize on the same grid (emit_int8)
+        out_step = (int8_step(q) if int8_mode and act == "relu"
+                    and (act_quant or emit_int8) else None)
+        # float residency: keep activations in the compute dtype in HBM
+        out_dtype = (jnp.bfloat16 if self.dtype == jnp.bfloat16
+                     and not train and q is None else None)
+        interp = _use_interpret()
+        epi_kw = dict(bias=bias_vec, act=act, out_step=out_step)
+        if int8_mode:
+            xq, xs = quantize_int8(x if x.dtype == jnp.int8 else x_f, q)
+            wq, ws = quantize_int8(kernel, q)
+        done = False      # True → epilogue consumed in-kernel
 
         if kind is DropoutKind.MASK:
             def init_bank() -> jax.Array:
@@ -166,72 +226,111 @@ class BayesConv(nn.Module):
             if train:
                 # batch-split semantics (ref Masksembles.py:177): stays on
                 # the XLA conv — the mask differs per batch group
-                b = x.shape[0]
+                b = x_f.shape[0]
                 if b % self.bayes.num_masks != 0:
                     raise ValueError(
                         f"batch size {b} not divisible by num_masks "
                         f"{self.bayes.num_masks}")
                 g = b // self.bayes.num_masks
-                gx = x.reshape((self.bayes.num_masks, g) + x.shape[1:])
-                xm = (gx * bank[:, None, None, None, :]).reshape(x.shape)
-                y = self._xla_conv(xm, kernel)
+                gx = x_f.reshape((self.bayes.num_masks, g) + x_f.shape[1:])
+                xm = (gx * bank[:, None, None, None, :]).reshape(x_f.shape)
+                y = self._xla_conv(xm, kernel, train)
             elif int8_fused:
                 y = bank_conv_int8_inference(xq, wq, bank, sample_idx, xs,
                                              ws, self.padding,
-                                             interpret=_use_interpret())
+                                             interpret=interp, **epi_kw)
+                done = True
             elif fusable:
-                y = bank_conv_inference(x, kernel, bank, sample_idx,
-                                        self.padding,
-                                        interpret=_use_interpret())
+                # Masksembles float paths stay f32 end-to-end so fused vs
+                # unfused per-mask comparison is exact (verify_accuracy
+                # golden protocol)
+                y = bank_conv_inference(x_f, kernel, bank, sample_idx,
+                                        self.padding, interpret=interp,
+                                        **epi_kw)
+                done = True
             else:
                 row = jnp.take(bank,
                                jnp.asarray(sample_idx) % self.bayes.num_masks,
                                axis=0)
-                y = self._xla_conv(x * row, kernel)
+                y = self._xla_conv(x_f * row, kernel, train)
         elif kind is DropoutKind.MC and self.bayes.rate > 0.0:
             if int8_fused:
                 key = self.make_rng(BAYES_RNG)
-                seeds = jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
+                seeds = jax.random.key_data(key).astype(
+                    jnp.int32).reshape(-1)[:2]
                 y = dropout_conv_int8_inference(
                     xq, wq, seeds, self.bayes.rate, xs, ws, self.padding,
-                    interpret=_use_interpret())
+                    interpret=interp, **epi_kw)
+                done = True
+            elif fusable and train:
+                key = self.make_rng(BAYES_RNG)
+                seeds = jax.random.key_data(key).astype(
+                    jnp.int32).reshape(-1)[:2]
+                y = dropout_conv(x_f.astype(self.dtype),
+                                 kernel.astype(self.dtype), seeds,
+                                 self.bayes.rate, self.padding,
+                                 interpret=interp)
             elif fusable:
                 key = self.make_rng(BAYES_RNG)
-                seeds = jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
-                cc = dropout_conv if train else dropout_conv_inference
-                y = cc(x.astype(self.dtype), kernel.astype(self.dtype),
-                       seeds, self.bayes.rate, self.padding,
-                       interpret=_use_interpret())
+                seeds = jax.random.key_data(key).astype(
+                    jnp.int32).reshape(-1)[:2]
+                y = dropout_conv_inference(
+                    x_f.astype(self.dtype), kernel.astype(self.dtype),
+                    seeds, self.bayes.rate, self.padding, interpret=interp,
+                    out_dtype=out_dtype, **epi_kw)
+                done = True
             else:
                 xm = BayesianDropout(rate=self.bayes.rate, name="drop")(
-                    x, sample_idx=sample_idx, train=train)
-                y = self._xla_conv(xm, kernel)
-        elif int8_fused:
-            y = dropout_conv_int8(xq, wq, jnp.zeros((2,), jnp.int32), 0.0,
-                                  xs, ws, self.padding,
-                                  interpret=_use_interpret())
-        elif (self.quant is not None and self.quant.int8_infer
-              and not train):
-            # strided / non-fusable int8 conv: XLA int8 MXU path
-            xq2, xs2 = quantize_int8(x, self.quant)
-            wq2, ws2 = quantize_int8(kernel, self.quant)
+                    x_f, sample_idx=sample_idx, train=train)
+                y = self._xla_conv(xm, kernel, train)
+        elif int8_fused and _det_conv_pallas(in_ch, x.shape, interp):
+            y = conv_int8_fused(xq, wq, xs, ws, padding=self.padding,
+                                interpret=interp, **epi_kw)
+            done = True
+        elif int8_mode:
+            # strided / non-fusable int8 conv: XLA int8 MXU path; the
+            # epilogue (incl. int8 requant) fuses into XLA's elementwise
             acc = jax.lax.conv_general_dilated(
-                xq2, wq2, window_strides=tuple(self.strides),
+                xq, wq, window_strides=tuple(self.strides),
                 padding=self.padding,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32)
-            y = acc.astype(jnp.float32) * (xs2 * ws2)
+            y = acc.astype(jnp.float32) * (xs * ws)
+        elif (fusable and not train and not interp
+              and _det_conv_pallas(in_ch, x.shape, interp)
+              and (bias_vec is not None or act is not None)):
+            # deterministic DEEP conv: fused single-store epilogue dataflow
+            # (bias+act in VMEM, activations stay bf16). TPU only — in
+            # interpret mode (CPU tests) the XLA fallback below computes the
+            # identical epilogue; kernel parity is covered by masked_conv
+            # tests. Early layers stay on XLA (see _det_conv_pallas).
+            y = conv_fused(x_f.astype(self.dtype),
+                           kernel.astype(self.dtype), padding=self.padding,
+                           interpret=interp, out_dtype=out_dtype, **epi_kw)
+            done = True
         else:
-            y = self._xla_conv(x, kernel)
+            y = self._xla_conv(x_f, kernel, train)
 
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros,
-                              (self.features,), jnp.float32)
-            if self.quant is not None:
-                bias = fake_quant(bias, self.quant)
-            y = y + bias
-        if fold_bias is not None:
-            y = y + fold_bias
+        if not done:
+            # XLA epilogue for the paths that didn't fuse it
+            if bias_vec is not None:
+                y = y + bias_vec
+            if act == "relu":
+                y = jax.nn.relu(y)
+            if out_step is None and out_dtype is not None:
+                y = y.astype(out_dtype)   # bf16 residency, XLA path
+        if out_step is not None and not done:
+            # emit int8 on the grid (XLA fuses this into the epilogue ops)
+            s = y / out_step
+            y = jnp.clip(jnp.trunc(s + jnp.where(s >= 0, 0.5, -0.5)),
+                         -128.0, 127.0).astype(jnp.int8)
+        elif (act_quant and q is not None and act is not None
+              and out_step is None):
+            # QuantAct semantics on the float (fake-quant) path: unsigned
+            # grid after the activation — applies whether or not the conv
+            # itself fused (the kernels carry no fake-quant epilogue)
+            import dataclasses
+            y = fake_quant(y, dataclasses.replace(q, keep_negative=False))
         return y
 
 
@@ -265,8 +364,11 @@ class BayesDense(nn.Module):
         if self.quant is not None and not int8_fused:
             kernel = fake_quant(kernel, self.quant)
         if int8_fused:
-            xq, xs = quantize_int8(x, self.quant)
+            xq, xs = quantize_int8(x, self.quant)  # int8-residency passthru
             wq, ws = quantize_int8(kernel, self.quant)
+        elif x.dtype == jnp.int8:
+            # int8-residency input feeding a float branch: exact dequant
+            x = x.astype(jnp.float32) * int8_step(self.quant)
 
         if kind is DropoutKind.MASK:
             def init_bank() -> jax.Array:

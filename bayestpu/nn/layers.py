@@ -52,10 +52,14 @@ class Dense(nn.Module):
         if self.quant is not None and (self.int8_infer
                                        or self.quant.int8_infer):
             from bayestpu.core.quant import int8_matmul, quantize_int8
+            # an int8-residency input is already on the grid: no requantize
             xq, xs = quantize_int8(x, self.quant)
             wq, ws = quantize_int8(kernel, self.quant)
             y = int8_matmul(xq, wq, xs, ws)
         else:
+            if x.dtype == jnp.int8:
+                from bayestpu.core.quant import dequantize_int8
+                x = dequantize_int8(x, self.quant)
             kernel = _maybe_quant(kernel, self.quant)
             y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
                         preferred_element_type=jnp.float32)
@@ -82,6 +86,11 @@ class Conv(nn.Module):
         kshape = tuple(self.kernel_size) + (in_ch, self.features)
         kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape,
                             jnp.float32)
+        if x.dtype == jnp.int8 and not (self.quant is not None and
+                                        (self.int8_infer
+                                         or self.quant.int8_infer)):
+            from bayestpu.core.quant import dequantize_int8
+            x = dequantize_int8(x, self.quant)
         if self.quant is not None and (self.int8_infer
                                        or self.quant.int8_infer):
             from bayestpu.core.quant import quantize_int8
@@ -147,6 +156,15 @@ class ConvBN(nn.Module):
     ``bayes``: optional Bayesian site on the conv INPUT, fused into the conv
     kernel via ``BayesConv`` (``bayestpu.kernels.masked_conv``) — the conv
     param path stays ``<name>/conv/kernel`` either way.
+
+    ``act``/``act_quant`` (call kwargs): a following activation (+ QuantAct
+    unsigned fake-quant) owned by this layer. At inference both fold into
+    the conv kernel's epilogue together with the BN scale/shift, so the
+    activation never round-trips HBM — and on the int8 path the layer emits
+    **int8 on the ap_fixed grid**, the reference's io_stream dataflow where
+    ``ap_fixed<8,0>`` activations stream layer-to-layer
+    (``hls4ml_build.py:69-71,103-110``). Training keeps BN → act → fake-quant
+    as separate XLA ops (their gradients are free there).
     """
 
     features: int
@@ -161,8 +179,9 @@ class ConvBN(nn.Module):
     fused: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False, sample_idx=0
-                 ) -> jax.Array:
+    def __call__(self, x: jax.Array, *, train: bool = False, sample_idx=0,
+                 act: str | None = None, act_quant: bool = False,
+                 emit_int8: bool = False) -> jax.Array:
         from bayestpu.core.config import BayesConfig, DropoutKind
         from bayestpu.nn.fused import BayesConv
 
@@ -178,7 +197,14 @@ class ConvBN(nn.Module):
                           momentum=self.momentum, epsilon=self.epsilon,
                           name="bn")
         if train:
-            return bn(conv(x, sample_idx=sample_idx, train=True))
+            y = bn(conv(x, sample_idx=sample_idx, train=True))
+            if act == "relu":
+                y = nn.relu(y)
+                if act_quant and self.quant is not None:
+                    import dataclasses
+                    y = fake_quant(y, dataclasses.replace(
+                        self.quant, keep_negative=False))
+            return y
         # Inference: fold the running BN stats into the conv weights — one
         # elementwise pass over the (KH,KW,C,F) kernel instead of the
         # (B,H,W,F) activation (XLA does NOT fuse the post-conv BN pass;
@@ -190,7 +216,8 @@ class ConvBN(nn.Module):
         sb = self.get_variable("batch_stats", "bn")
         inv = jax.lax.rsqrt(sb["var"] + self.epsilon) * pb["scale"]
         return conv(x, sample_idx=sample_idx, train=False,
-                    fold_scale=inv, fold_bias=pb["bias"] - sb["mean"] * inv)
+                    fold_scale=inv, fold_bias=pb["bias"] - sb["mean"] * inv,
+                    act=act, act_quant=act_quant, emit_int8=emit_int8)
 
 
 def max_pool(x: jax.Array, window: int | tuple[int, int],
@@ -202,6 +229,13 @@ def max_pool(x: jax.Array, window: int | tuple[int, int],
         strides = window
     if isinstance(strides, int):
         strides = (strides, strides)
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        # int8-residency path: max of on-grid values stays on the grid, so
+        # pooling runs directly on the int8 activations (flax's max_pool
+        # seeds the reduction with -inf, which is float-only)
+        return jax.lax.reduce_window(
+            x, jnp.asarray(jnp.iinfo(x.dtype).min, x.dtype), jax.lax.max,
+            (1,) + window + (1,), (1,) + strides + (1,), padding)
     return nn.max_pool(x, window_shape=window, strides=strides, padding=padding)
 
 

@@ -51,10 +51,12 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         residual = x
+        # the inter-conv relu folds into convbn1's kernel epilogue at
+        # inference (the post-add relus can't — the residual join is the
+        # consumer); strided first blocks fall back to XLA's fused epilogue
         y = ConvBN(self.planes, (3, 3), (self.stride, self.stride),
                    padding=_P3, quant=self.quant, dtype=self.dtype,
-                   name="convbn1")(x, train=train)
-        y = nn.relu(y)
+                   name="convbn1")(x, train=train, act="relu")
         y = ConvBN(self.planes, (3, 3), padding=_P3, quant=self.quant,
                    dtype=self.dtype, name="convbn2")(y, train=train)
         if self.stride != 1 or x.shape[-1] != self.planes:
@@ -80,12 +82,11 @@ class Bottleneck(nn.Module):
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         out_ch = self.planes * self.expansion
         residual = x
-        y = nn.relu(ConvBN(self.planes, (1, 1), quant=self.quant,
-                           dtype=self.dtype, name="convbn1")(x, train=train))
-        y = nn.relu(ConvBN(self.planes, (3, 3),
-                           (self.stride, self.stride), padding=_P3,
-                           quant=self.quant, dtype=self.dtype,
-                           name="convbn2")(y, train=train))
+        y = ConvBN(self.planes, (1, 1), quant=self.quant, dtype=self.dtype,
+                   name="convbn1")(x, train=train, act="relu")
+        y = ConvBN(self.planes, (3, 3), (self.stride, self.stride),
+                   padding=_P3, quant=self.quant, dtype=self.dtype,
+                   name="convbn2")(y, train=train, act="relu")
         y = ConvBN(out_ch, (1, 1), quant=self.quant, dtype=self.dtype,
                    name="convbn3")(y, train=train)
         if self.stride != 1 or x.shape[-1] != out_ch:

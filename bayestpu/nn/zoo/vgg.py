@@ -73,11 +73,16 @@ class _VGGBlock(nn.Module):
     def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False
                  ) -> jax.Array:
         for i, ch in enumerate(self.channels):
+            # relu + QuantAct fold into the conv's fused epilogue at
+            # inference (one HBM store per layer; int8 mode emits int8 so
+            # activations stay on the ap_fixed grid block-to-block — the
+            # io_stream residency dataflow). QuantAct held no params, so the
+            # param tree is unchanged.
             x = ConvBN(ch, (3, 3), quant=self.quant, dtype=self.dtype,
                        bayes=self.bayes_in if i == 0 else None,
                        name=f"convbn{i}")(x, train=train,
-                                          sample_idx=sample_idx)
-            x = QuantAct(quant=self.quant, name=f"relu{i}")(x)
+                                          sample_idx=sample_idx,
+                                          act="relu", act_quant=True)
         return max_pool(x, 2, 2)
 
 
@@ -156,6 +161,11 @@ class VGG(nn.Module):
                 if self.fused and self.n_exits == 1:
                     pending_site = self.bayes
                 else:
+                    if out.dtype == jnp.int8:
+                        # a materialized site rescales by 1/keep — off-grid,
+                        # so leave residency here (exact dequant)
+                        from bayestpu.core.quant import dequantize_int8
+                        out = dequantize_int8(out, q)
                     out = BayesSite(self.bayes, name=f"bayes_b{i}")(
                         out, **site_kw)
             if self.n_exits > 1 and i < n_blocks - 1:
@@ -172,8 +182,14 @@ class VGG(nn.Module):
                 exits.append(logit)
                 feats.append(feat)
 
-        feat = out.reshape((out.shape[0], -1))
-        out = feat
+        out = out.reshape((out.shape[0], -1))
+        if out.dtype == jnp.int8:
+            # metrics consume features in f32; the head Dense keeps the int8
+            # view (quantize_int8 passes int8 through)
+            from bayestpu.core.quant import dequantize_int8
+            feat = dequantize_int8(out, q)
+        else:
+            feat = out
         for j, width in enumerate(self.head_dims):
             out = Dense(width, quant=q, dtype=dt, name=f"fc_{j}")(out)
             if j == 0:

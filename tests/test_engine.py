@@ -130,3 +130,23 @@ def test_evaluate_dataset_matched_ood(key):
     assert np.isfinite(m["aPE_ood"])
     m2 = eng.evaluate(x, y, num_samples=2, ood_check=True)  # batch fallback
     assert np.isfinite(m2["aPE_ood"])
+
+
+def test_autotune_measured_mapping(key):
+    """AUTO mode measures temporal vs spatial and adopts the winner
+    (VERDICT r2 item 3 — the measured analogue of the reference's
+    per-model Strategy/ReuseFactor tables, hls4ml_build.py:23-58)."""
+    model = get_model("lenet", bayes=BayesConfig(rate=0.3, num_samples=4))
+    eng = BayesEngine(model, config=EngineConfig(mode=SamplingMode.AUTO))
+    x = jnp.zeros((8, 28, 28, 1))
+    eng.init(jax.random.key(0), x)
+    xr = jax.random.normal(key, (8, 28, 28, 1))
+    stats = eng.compile(xr)                     # triggers autotune
+    assert stats["mode"] in ("temporal", "spatial")
+    assert eng._tuned is not None
+    t = eng._tuned["timings_s"]
+    assert set(t) == {"temporal", "spatial"} and all(v > 0 for v in t.values())
+    # the adopted mode is the measured winner
+    assert stats["mode"] == min(t, key=t.get)
+    pred = eng.predict(xr)
+    assert pred.probs.shape == (1, 8, 10)

@@ -397,9 +397,13 @@ def test_bayes_conv_bf16_dtype_path():
     r = {"bayes": jax.random.PRNGKey(5)}
     y16 = m16.apply(v, x, rngs=r)
     y32 = m32.apply(v, x, rngs=r)
-    assert y16.dtype == jnp.float32  # accumulate/output stays f32
+    # bf16 residency: inference activations stay bf16 in HBM (the f32
+    # accumulator is rounded once at the single output store)
+    assert y16.dtype == jnp.bfloat16
+    assert y32.dtype == jnp.float32
     # same seeds -> same masks; differences are bf16 rounding only
-    np.testing.assert_allclose(y16, y32, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(y16.astype(jnp.float32), y32,
+                               rtol=2e-2, atol=2e-2)
     from bayestpu.nn.fused import BayesDense
     d16 = BayesDense(8, bayes=cfg, dtype=jnp.bfloat16)
     vd = d16.init({"params": jax.random.PRNGKey(0),

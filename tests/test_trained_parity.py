@@ -33,7 +33,7 @@ REF_SW = "/root/reference/Software_Artifact/software"
 
 EPOCHS, BATCH, N_TRAIN, N_TEST = 7, 64, 512, 256
 RATE, LR, MOM = 0.25, 0.05, 0.9
-MC_PASSES, EVAL_REPEATS = 8, 3
+MC_PASSES, EVAL_REPEATS = 8, 5   # r3: repeats 3→5 (VERDICT r2 item 4)
 
 
 def _hist_ece(probs: np.ndarray, labels: np.ndarray, n_bins: int = 15
@@ -166,10 +166,10 @@ def test_trained_acc_ece_ape_parity(data):
         # 4σ MC-eval error + cross-framework training-stochasticity floor
         return 4.0 * float(np.hypot(s1, s2)) + floor
 
-    assert abs(t_acc - j_acc) <= bound(t_acc_s, j_acc_s, 0.06), (
+    assert abs(t_acc - j_acc) <= bound(t_acc_s, j_acc_s, 0.04), (
         f"acc gap: torch {t_acc:.3f}±{t_acc_s:.3f} vs "
         f"bayestpu {j_acc:.3f}±{j_acc_s:.3f}")
-    assert abs(t_ece - j_ece) <= bound(t_ece_s, j_ece_s, 0.06), (
+    assert abs(t_ece - j_ece) <= bound(t_ece_s, j_ece_s, 0.04), (
         f"ECE gap: torch {t_ece:.3f}±{t_ece_s:.3f} vs "
         f"bayestpu {j_ece:.3f}±{j_ece_s:.3f}")
     # aPE on identical noise inputs: same order of magnitude of uncertainty
