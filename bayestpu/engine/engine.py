@@ -318,7 +318,9 @@ class BayesEngine:
         return out
 
     def benchmark(self, x: jax.Array, iters: int = 20,
-                  num_samples: int | None = None) -> dict:
+                  num_samples: int | None = None,
+                  min_diff_s: float = 0.3,
+                  max_iters: int = 25600) -> dict:
         """Wall-clock latency/throughput of the compiled predict.
 
         Value-fetch-fenced window differencing (``bench.timing``):
@@ -327,8 +329,15 @@ class BayesEngine:
 
         key = jax.random.key(0)
         s = sampler.num_effective_samples(self.bayes, num_samples)
+        from bayestpu.utils.timing import pipelined_windows_s
+
         fn = self._predict_fn(s)
-        dt = pipelined_s(fn, self.variables, x, key, iters=iters)
+        dt = pipelined_s(fn, self.variables, x, key, iters=iters,
+                         min_diff_s=min_diff_s, max_iters=max_iters)
         b = x.shape[0]
         return {"latency_s": dt, "samples_per_s": b * s / dt,
-                "images_per_s": b / dt, "num_samples": s}
+                "images_per_s": b / dt, "num_samples": s,
+                # True when the point came from the RTT-inclusive
+                # whole-window fallback rather than window differencing —
+                # not comparable with differenced neighbors (ADVICE r2 #4)
+                "rtt_fallback": bool(pipelined_windows_s.last_was_fallback)}

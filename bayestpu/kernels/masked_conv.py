@@ -17,9 +17,8 @@ a static spatial slice reshaped to 2D and fed to the MXU against the
 over a reduction grid axis on input channels. On a v5e this matches or beats
 XLA's own conv lowering at the zoo's shapes (fetch-fenced: parity-to-1.4×
 across 32×32/16×16/8×8, see RESULTS.md) *before* counting the saved mask
-round-trip. Stride-1 only — strided Bayes sites fall back to
-``BayesConvInput`` + XLA conv (1×1 stride-1 sites lower to the
-``masked_matmul`` family instead).
+round-trip. Stride 2 is supported via a phase decomposition (see ``_Geom``);
+1×1 stride-1 sites lower to the ``masked_matmul`` family instead.
 
 **Fused epilogue** (``bias=``/``act=``/``out_step=``/``out_dtype=`` kwargs on
 every inference entry point): bias add (BN fold included), ReLU, and a
@@ -140,26 +139,56 @@ def _epi_apply(y: jax.Array, b_row: jax.Array, epi: _Epi) -> jax.Array:
 
 
 class _Geom:
-    """Static geometry of one fused-conv problem (stride 1)."""
+    """Static geometry of one fused-conv problem (stride 1 or 2).
+
+    Stride 2 uses a PHASE DECOMPOSITION (space-to-batch): the padded input
+    is re-laid-out as (N, 2, 2, H/2, W/2, C) — four stride-1 "phase" grids —
+    so every kernel tap stays a static stride-1 slice feeding the MXU
+    (strided VMEM slices would lower to gathers). Tap (dh, dw) of the
+    stride-2 conv reads phase (dh%2, dw%2) at offset (dh//2, dw//2): output
+    position oh consumes padded input row 2·oh+dh = 2·(oh + dh//2) + dh%2.
+    This is how the reference's Bayes layers can sit at strided convs
+    (``t_qmodels_bayes.py:54-79``) without leaving the fused kernel family.
+
+    ``padding``: "SAME" | "VALID" | ((lo,hi),(lo,hi)) explicit pairs (the
+    resnet twins use explicit (1,1) to match torch's stride-2 sampling).
+    """
 
     def __init__(self, x_shape, w_shape, padding, block_b, block_c, block_f,
-                 num_samples: int = 1):
+                 num_samples: int = 1, stride: int = 1):
         n, h, w_dim, c = x_shape
         kh, kw, c2, f = w_shape
         assert c == c2, (x_shape, w_shape)
+        assert stride in (1, 2), stride
+        self.stride = st = stride
         if padding == "SAME":
-            self.ph, self.pw = (kh - 1) // 2, (kw - 1) // 2
-            self.ho, self.wo = h, w_dim
+            # XLA SAME: total = max((ho-1)·st + k − in, 0), lo = total//2
+            ho = -(-h // st)
+            wo = -(-w_dim // st)
+            th = max((ho - 1) * st + kh - h, 0)
+            tw = max((wo - 1) * st + kw - w_dim, 0)
+            self.ph, self.ph_hi = th // 2, th - th // 2
+            self.pw, self.pw_hi = tw // 2, tw - tw // 2
         elif padding == "VALID":
-            self.ph = self.pw = 0
-            self.ho, self.wo = h - kh + 1, w_dim - kw + 1
+            self.ph = self.ph_hi = self.pw = self.pw_hi = 0
         else:
-            raise ValueError(f"padding must be SAME or VALID, got {padding}")
+            (self.ph, self.ph_hi), (self.pw, self.pw_hi) = (
+                tuple(padding[0]), tuple(padding[1]))
+        self.ho = (h + self.ph + self.ph_hi - kh) // st + 1
+        self.wo = (w_dim + self.pw + self.pw_hi - kw) // st + 1
         self.n, self.h, self.w, self.c, self.f = n, h, w_dim, c, f
         self.kh, self.kw = kh, kw
         self.wa = _align(self.wo, 8)              # aligned output width
-        self.wpa = _align(self.wa + kw - 1, 8)    # aligned padded width
-        self.hp = self.ho + kh - 1                # padded height
+        if st == 1:
+            self.wpa = _align(self.wa + kw - 1, 8)  # aligned padded width
+            self.hp = self.ho + kh - 1              # padded height
+        else:
+            # per-phase extents: phase row i covers padded row 2i+r; tap
+            # offsets reach a ≤ (kh-1)//2 past the last output row
+            self.hp2 = self.ho + (kh - 1) // 2
+            self.wp2a = _align(self.wa + (kw - 1) // 2, 8)
+            self.hp = 2 * self.hp2                  # padded (pre-phase) dims
+            self.wpa = 2 * self.wp2a
         self.bc = min(block_c, _align(c, 128))
 
         def vmem(bb: int, bf: int) -> int:
@@ -202,10 +231,24 @@ class _Geom:
             "conv input too large for the 32-bit mask coordinate space")
 
     def pad_x(self, x: jax.Array) -> jax.Array:
-        return jnp.pad(x, ((0, self.na - self.n),
-                           (self.ph, self.hp - self.h - self.ph),
-                           (self.pw, self.wpa - self.w - self.pw),
-                           (0, self.ca - self.c)))
+        xp = jnp.pad(x, ((0, self.na - self.n),
+                         (self.ph, self.hp - self.h - self.ph),
+                         (self.pw, self.wpa - self.w - self.pw),
+                         (0, self.ca - self.c)))
+        if self.stride == 1:
+            return xp
+        # phase layout (N, 2, 2, H/2, W/2, C): one XLA transpose outside the
+        # kernel buys all-static stride-1 tap slices inside it
+        xp = xp.reshape(self.na, self.hp2, 2, self.wp2a, 2, self.ca)
+        return xp.transpose(0, 2, 4, 1, 3, 5)
+
+    def x_block(self):
+        """(block_shape, index_map) for the x operand."""
+        if self.stride == 1:
+            return ((self.bb, self.hp, self.wpa, self.bc),
+                    lambda i, j, c, *a: (i, 0, 0, c))
+        return ((self.bb, 2, 2, self.hp2, self.wp2a, self.bc),
+                lambda i, j, c, *a: (i, 0, 0, 0, 0, c))
 
     def pad_w(self, w: jax.Array) -> jax.Array:
         return jnp.pad(w, ((0, 0), (0, 0), (0, self.ca - self.c),
@@ -243,12 +286,20 @@ def _tile_mask_bits(g: _Geom, shape, stream, n0, c0) -> jax.Array:
     """PRNG bits for a padded x tile, keyed on the global UNPADDED element
     coordinate — identical to ``_dropout_apply`` on ``x.reshape(-1, C)``.
     Border/padding positions get wrapped (garbage) coordinates; their x is 0
-    so the mask there is irrelevant."""
-    b_io = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-    hp_io = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-    wp_io = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
-    c_io = jax.lax.broadcasted_iota(jnp.uint32, shape, 3)
+    so the mask there is irrelevant. Handles both the stride-1 NHWC tile
+    (4-D) and the stride-2 phase tile (6-D: N,r,s,H/2,W/2,C — padded row
+    index is 2i+r, col 2j+s)."""
     hw = jnp.uint32(g.h * g.w)
+    b_io = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    c_io = jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 1)
+    if len(shape) == 4:
+        hp_io = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+        wp_io = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+    else:
+        r_io = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+        s_io = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+        hp_io = 2 * jax.lax.broadcasted_iota(jnp.uint32, shape, 3) + r_io
+        wp_io = 2 * jax.lax.broadcasted_iota(jnp.uint32, shape, 4) + s_io
     grow = ((jnp.uint32(n0) + b_io) * hw
             + (hp_io - jnp.uint32(g.ph)) * jnp.uint32(g.w)
             + (wp_io - jnp.uint32(g.pw)))
@@ -261,9 +312,17 @@ def _tap_views(g: _Geom, xm):
     shift (a real VPU copy in Mosaic); hoisting it out of the dh loop does
     kw shifts instead of kh·kw (+33% at 16×16 shapes on-chip). At tiny
     widths (wa < 16) the extra resident copies cost more than they save, so
-    the inline form is kept there."""
+    the inline form is kept there. Stride 2 reads the phase tile: tap
+    (dh, dw) is a STATIC stride-1 slice of phase (dh%2, dw%2)."""
     ch = xm.shape[-1]
-    if g.kw > 1 and g.wa >= 16:
+    if g.stride == 2:
+        for dh in range(g.kh):
+            r, a = dh & 1, dh >> 1
+            for dw in range(g.kw):
+                s, b = dw & 1, dw >> 1
+                yield dh, dw, xm[:, r, s, a:a + g.ho, b:b + g.wa, :].reshape(
+                    g.m, ch)
+    elif g.kw > 1 and g.wa >= 16:
         xw = [xm[:, :, dw:dw + g.wa, :] for dw in range(g.kw)]
         for dh in range(g.kh):
             for dw in range(g.kw):
@@ -360,13 +419,14 @@ def _bank_conv_kernel(idx_ref, x_ref, w_ref, bank_ref, b_ref, o_ref,
     is_int8 = acc_dtype == jnp.int32
 
     def one(s, acc):
+        bshape = (1,) * (x.ndim - 1) + (-1,)   # 4-D tile or 6-D phase tile
         if is_int8:
             # int8 bank rows are {0,1}: widen for the reduction-select
             row = _bank_select_row(idx_ref[s], bank_ref, jnp.int32)
-            xm = jnp.where(row.reshape(1, 1, 1, -1) > 0, x, 0)
+            xm = jnp.where(row.reshape(bshape) > 0, x, 0)
         else:
             row = _bank_select_row(idx_ref[s], bank_ref, jnp.float32)
-            xm = x * row.reshape(1, 1, 1, -1)
+            xm = x * row.reshape(bshape)
         return _taps_accum(g, xm, w_ref, acc, acc_dtype=acc_dtype)
 
     if lead:
@@ -394,6 +454,7 @@ def _launch_masked(x, w, seeds, bias, *, g: _Geom, rate, epi, acc_dtype,
     out_lead = (num_samples,) if lead else ()
     out_dt = _OUT_DTYPES[epi.out]
     in_b = 1 if x.dtype == jnp.int8 else x.dtype.itemsize
+    xb_shape, xb_map = g.x_block()
     y = pl.pallas_call(
         functools.partial(_masked_conv_kernel, g=g, rate=rate, epi=epi,
                           acc_dtype=acc_dtype, out_scale=out_scale,
@@ -401,9 +462,7 @@ def _launch_masked(x, w, seeds, bias, *, g: _Geom, rate, epi, acc_dtype,
         grid=g.grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((g.bb, g.hp, g.wpa, g.bc),
-                         lambda i, j, c: (i, 0, 0, c),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(xb_shape, xb_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((g.kh, g.kw, g.bc, g.bf),
                          lambda i, j, c: (0, 0, c, j),
                          memory_space=pltpu.VMEM),
@@ -440,13 +499,12 @@ def _launch_bank(kernel_extra, x, w, bank, idxs, bias, *, g: _Geom, epi,
     bank_p = jnp.pad(bank_p, ((0, 0), (0, g.ca - g.c)))
     out_lead = (num_samples,) if lead else ()
     out_dt = _OUT_DTYPES[epi.out]
+    xb_shape, xb_map = g.x_block()
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=g.grid,
         in_specs=[
-            pl.BlockSpec((g.bb, g.hp, g.wpa, g.bc),
-                         lambda i, j, c, idx: (i, 0, 0, c),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(xb_shape, xb_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((g.kh, g.kw, g.bc, g.bf),
                          lambda i, j, c, idx: (0, 0, c, j),
                          memory_space=pltpu.VMEM),
@@ -492,40 +550,45 @@ def mask_apply_nhwc(x: jax.Array, seeds: jax.Array, rate: float,
     return y.reshape(x.shape)
 
 
-def _conv_ref(x, w, padding):
+def _conv_ref(x, w, padding, stride: int = 1):
+    st = (stride, stride)
+    pad = padding if isinstance(padding, str) else [tuple(p) for p in padding]
     if x.dtype == jnp.float32:
         return jax.lax.conv_general_dilated(
-            x, w, (1, 1), padding,
+            x, w, st, pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32)
     # bf16 etc.: JAX's conv VJP rejects preferred_element_type != operand
     # dtype (the transposed conv receives the f32 cotangent + bf16 operand),
     # so compute in-dtype (MXU still accumulates f32 internally) and upcast.
     y = jax.lax.conv_general_dilated(
-        x, w, (1, 1), padding, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x, w, st, pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return y.astype(jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def dropout_conv(x: jax.Array, w: jax.Array, seeds: jax.Array, rate: float,
-                 padding: str = "SAME", block_b: int = 0, block_c: int = 128,
-                 block_f: int = 0, interpret: bool = False) -> jax.Array:
+                 padding="SAME", block_b: int = 0, block_c: int = 128,
+                 block_f: int = 0, interpret: bool = False,
+                 stride: int = 1) -> jax.Array:
     """``conv(dropout(x), w)`` with the Bernoulli mask fused into the kernel.
 
-    x: (N, H, W, C) NHWC; w: (KH, KW, C, F) HWIO; seeds: (2,) int32; stride 1,
-    ``padding`` ∈ {SAME, VALID}. Returns (N, H_out, W_out, F) float32.
-    Trainable (custom VJP regenerates the mask); no epilogue — bias/BN stay
-    in XLA on the training path where their gradients are free.
+    x: (N, H, W, C) NHWC; w: (KH, KW, C, F) HWIO; seeds: (2,) int32; stride
+    1 or 2; ``padding`` ∈ {SAME, VALID, ((lo,hi),(lo,hi))}. Returns
+    (N, H_out, W_out, F) float32. Trainable (custom VJP regenerates the
+    mask); no epilogue — bias/BN stay in XLA on the training path where
+    their gradients are free.
     """
     return _dropout_conv_fwd(x, w, seeds, rate, padding, block_b, block_c,
-                             block_f, interpret)[0]
+                             block_f, interpret, stride)[0]
 
 
 def _dropout_conv_fwd(x, w, seeds, rate, padding, block_b, block_c, block_f,
-                      interpret):
+                      interpret, stride=1):
     if rate == 0.0:
-        return _conv_ref(x, w, padding), (x, w, seeds)
-    g = _Geom(x.shape, w.shape, padding, block_b, block_c, block_f)
+        return _conv_ref(x, w, padding, stride), (x, w, seeds)
+    g = _Geom(x.shape, w.shape, padding, block_b, block_c, block_f,
+              stride=stride)
     y = _launch_masked(x, w, jnp.reshape(seeds, (1, 2)), None, g=g,
                        rate=rate, epi=_Epi(), acc_dtype=jnp.float32,
                        out_scale=None, num_samples=1, lead=False,
@@ -534,18 +597,19 @@ def _dropout_conv_fwd(x, w, seeds, rate, padding, block_b, block_c, block_f,
 
 
 def _dropout_conv_bwd(rate, padding, block_b, block_c, block_f, interpret,
-                      res, gy):
+                      stride, res, gy):
     x, w, seeds = res
     if rate == 0.0:
-        _, vjp = jax.vjp(lambda a, b: _conv_ref(a, b, padding), x, w)
+        _, vjp = jax.vjp(lambda a, b: _conv_ref(a, b, padding, stride), x, w)
         dx, dw = vjp(gy)
         return dx.astype(x.dtype), dw.astype(w.dtype), None
     # y = conv(mask·x/keep, w): regenerate the mask (never stored) and reuse
-    # XLA's conv transposes for the heavy lifting. The mask kernel emits
-    # f32; cast back — conv_general_dilated requires matching dtypes (bf16
-    # models hit this in the backward pass).
+    # XLA's conv transposes for the heavy lifting (stride-agnostic: the mask
+    # applies to x BEFORE the conv, so XLA's transposed conv handles any
+    # stride). The mask kernel emits f32; cast back — conv_general_dilated
+    # requires matching dtypes (bf16 models hit this in the backward pass).
     xm = mask_apply_nhwc(x, seeds, rate, interpret).astype(x.dtype)
-    _, vjp = jax.vjp(lambda a, b: _conv_ref(a, b, padding), xm, w)
+    _, vjp = jax.vjp(lambda a, b: _conv_ref(a, b, padding, stride), xm, w)
     dxm, dw = vjp(gy)
     dx = mask_apply_nhwc(dxm, seeds, rate, interpret)
     return dx.astype(x.dtype), dw.astype(w.dtype), None
@@ -564,13 +628,14 @@ def _epi_ref(y, bias, act, out_step, out_dtype):
 
 def conv_fused(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
                act: str | None = None, out_dtype=None,
-               out_step: float | None = None, padding: str = "SAME",
+               out_step: float | None = None, padding="SAME",
                block_b: int = 0, block_c: int = 128, block_f: int = 0,
-               interpret: bool = False) -> jax.Array:
+               interpret: bool = False, stride: int = 1) -> jax.Array:
     """Plain (mask-free) conv with the fused bias/act/requant epilogue —
     inference only. The deterministic layers of a Bayesian net ride the same
     single-store dataflow as the masked ones (io_stream analogue)."""
-    g = _Geom(x.shape, w.shape, padding, block_b, block_c, block_f)
+    g = _Geom(x.shape, w.shape, padding, block_b, block_c, block_f,
+              stride=stride)
     epi = _make_epi(bias, act, out_step, out_dtype)
     return _launch_masked(x, w, jnp.zeros((1, 2), jnp.int32), bias, g=g,
                           rate=0.0, epi=epi, acc_dtype=jnp.float32,
@@ -579,11 +644,12 @@ def conv_fused(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
 
 
 def dropout_conv_samples(x: jax.Array, w: jax.Array, seeds: jax.Array,
-                         rate: float, padding: str = "SAME", block_b: int = 0,
+                         rate: float, padding="SAME", block_b: int = 0,
                          block_c: int = 128, block_f: int = 0,
                          interpret: bool = False, bias: jax.Array | None = None,
                          act: str | None = None, out_dtype=None,
-                         out_step: float | None = None) -> jax.Array:
+                         out_step: float | None = None,
+                         stride: int = 1) -> jax.Array:
     """All-samples fused MC conv: ``stack([conv(dropout_s(x), w) for s])``.
 
     seeds: (S, 2) int32. Returns (S, N, H_out, W_out, F) with row s
@@ -596,10 +662,11 @@ def dropout_conv_samples(x: jax.Array, w: jax.Array, seeds: jax.Array,
     num_samples = seeds.shape[0]
     epi = _make_epi(bias, act, out_step, out_dtype)
     if rate == 0.0:
-        y = _epi_ref(_conv_ref(x, w, padding), bias, act, out_step, out_dtype)
+        y = _epi_ref(_conv_ref(x, w, padding, stride), bias, act, out_step,
+                     out_dtype)
         return jnp.broadcast_to(y[None], (num_samples,) + y.shape)
     g = _Geom(x.shape, w.shape, padding, block_b, block_c, block_f,
-              num_samples=num_samples)
+              num_samples=num_samples, stride=stride)
     return _launch_masked(x, w, seeds, bias, g=g, rate=rate, epi=epi,
                           acc_dtype=jnp.float32, out_scale=None,
                           num_samples=num_samples, lead=True,
@@ -613,15 +680,16 @@ _CONV_SAMPLE_CHUNK = 4
 
 @functools.lru_cache(maxsize=None)
 def _conv_inference_vmapped(rate, padding, block_b, block_c, block_f,
-                            interpret, epi_key):
+                            interpret, epi_key, stride=1):
     act, out_dtype, out_step = epi_key
 
     @jax.custom_batching.custom_vmap
     def f(x, w, seeds, bias):
         if rate == 0.0:
-            return _epi_ref(_conv_ref(x, w, padding), bias, act, out_step,
-                            out_dtype)
-        g = _Geom(x.shape, w.shape, padding, block_b, block_c, block_f)
+            return _epi_ref(_conv_ref(x, w, padding, stride), bias, act,
+                            out_step, out_dtype)
+        g = _Geom(x.shape, w.shape, padding, block_b, block_c, block_f,
+                  stride=stride)
         epi = _make_epi(bias, act, out_step, out_dtype)
         return _launch_masked(x, w, jnp.reshape(seeds, (1, 2)), bias, g=g,
                               rate=rate, epi=epi, acc_dtype=jnp.float32,
@@ -636,7 +704,7 @@ def _conv_inference_vmapped(rate, padding, block_b, block_c, block_f,
             outs = [dropout_conv_samples(
                 x, w, seeds2[i:i + _CONV_SAMPLE_CHUNK], rate, padding,
                 block_b, block_c, block_f, interpret, bias=bias, act=act,
-                out_dtype=out_dtype, out_step=out_step)
+                out_dtype=out_dtype, out_step=out_step, stride=stride)
                 for i in range(0, axis_size, _CONV_SAMPLE_CHUNK)]
             out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
             return out, True
@@ -650,22 +718,23 @@ def _conv_inference_vmapped(rate, padding, block_b, block_c, block_f,
 
 
 def dropout_conv_inference(x: jax.Array, w: jax.Array, seeds: jax.Array,
-                           rate: float, padding: str = "SAME",
+                           rate: float, padding="SAME",
                            block_b: int = 0, block_c: int = 128,
                            block_f: int = 0, interpret: bool = False,
                            bias: jax.Array | None = None,
                            act: str | None = None, out_dtype=None,
-                           out_step: float | None = None) -> jax.Array:
+                           out_step: float | None = None,
+                           stride: int = 1) -> jax.Array:
     """``dropout_conv`` for the no-grad inference path: a seeds-mapped vmap
     collapses to ``dropout_conv_samples`` launches (x fetched once per S).
     Supports the fused epilogue kwargs."""
     if rate == 0.0 and bias is None and act is None and out_step is None \
             and out_dtype is None:
-        return _conv_ref(x, w, padding)
+        return _conv_ref(x, w, padding, stride)
     f = _conv_inference_vmapped(
         rate, padding, block_b, block_c, block_f, interpret,
         (act, None if out_dtype is None else jnp.dtype(out_dtype).name,
-         out_step))
+         out_step), stride)
     if bias is None:
         bias = jnp.zeros((w.shape[-1],), jnp.float32)
         # _make_epi keys on `bias is not None`; a zero bias is semantically
@@ -677,16 +746,18 @@ def dropout_conv_inference(x: jax.Array, w: jax.Array, seeds: jax.Array,
 
 
 def bank_conv(x: jax.Array, w: jax.Array, bank: jax.Array,
-              sample_idx: jax.Array, padding: str = "SAME", block_b: int = 0,
+              sample_idx: jax.Array, padding="SAME", block_b: int = 0,
               block_c: int = 128, block_f: int = 0, interpret: bool = False,
               bias: jax.Array | None = None, act: str | None = None,
-              out_dtype=None, out_step: float | None = None) -> jax.Array:
+              out_dtype=None, out_step: float | None = None,
+              stride: int = 1) -> jax.Array:
     """``conv(x ⊙ bank[sample_idx], w)`` — Masksembles fused conv.
 
     bank: (num_masks, C) float32 channel masks; the row is chosen by a
     scalar-prefetch argument so one compiled kernel serves every mask index.
     """
-    g = _Geom(x.shape, w.shape, padding, block_b, block_c, block_f)
+    g = _Geom(x.shape, w.shape, padding, block_b, block_c, block_f,
+              stride=stride)
     idx = jnp.asarray(sample_idx, jnp.int32).reshape((1,)) % bank.shape[0]
     epi = _make_epi(bias, act, out_step, out_dtype)
     return _launch_bank({}, x, w, bank, idx, bias, g=g, epi=epi,
@@ -695,17 +766,17 @@ def bank_conv(x: jax.Array, w: jax.Array, bank: jax.Array,
 
 
 def bank_conv_samples(x: jax.Array, w: jax.Array, bank: jax.Array,
-                      sample_idxs: jax.Array, padding: str = "SAME",
+                      sample_idxs: jax.Array, padding="SAME",
                       block_b: int = 0, block_c: int = 128,
                       block_f: int = 0, interpret: bool = False,
                       bias: jax.Array | None = None, act: str | None = None,
-                      out_dtype=None, out_step: float | None = None
-                      ) -> jax.Array:
+                      out_dtype=None, out_step: float | None = None,
+                      stride: int = 1) -> jax.Array:
     """All-masks fused Masksembles conv: one launch for every mask index,
     x tiles fetched once. Returns (S, N, H_out, W_out, F)."""
     num_samples = sample_idxs.shape[0]
     g = _Geom(x.shape, w.shape, padding, block_b, block_c, block_f,
-              num_samples=num_samples)
+              num_samples=num_samples, stride=stride)
     idxs = jnp.asarray(sample_idxs, jnp.int32) % bank.shape[0]
     epi = _make_epi(bias, act, out_step, out_dtype)
     return _launch_bank({}, x, w, bank, idxs, bias, g=g, epi=epi,
@@ -716,14 +787,15 @@ def bank_conv_samples(x: jax.Array, w: jax.Array, bank: jax.Array,
 
 @functools.lru_cache(maxsize=None)
 def _bank_conv_inference_vmapped(padding, block_b, block_c, block_f,
-                                 interpret, epi_key):
+                                 interpret, epi_key, stride=1):
     act, out_dtype, out_step = epi_key
 
     @jax.custom_batching.custom_vmap
     def f(x, w, bank, sample_idx, bias):
         return bank_conv(x, w, bank, sample_idx, padding, block_b, block_c,
                          block_f, interpret, bias=bias, act=act,
-                         out_dtype=out_dtype, out_step=out_step)
+                         out_dtype=out_dtype, out_step=out_step,
+                         stride=stride)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, x, w, bank, sample_idx, bias):
@@ -733,7 +805,7 @@ def _bank_conv_inference_vmapped(padding, block_b, block_c, block_f,
             outs = [bank_conv_samples(
                 x, w, bank, idxs[i:i + _CONV_SAMPLE_CHUNK], padding,
                 block_b, block_c, block_f, interpret, bias=bias, act=act,
-                out_dtype=out_dtype, out_step=out_step)
+                out_dtype=out_dtype, out_step=out_step, stride=stride)
                 for i in range(0, axis_size, _CONV_SAMPLE_CHUNK)]
             out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
             return out, True
@@ -749,18 +821,19 @@ def _bank_conv_inference_vmapped(padding, block_b, block_c, block_f,
 
 
 def bank_conv_inference(x: jax.Array, w: jax.Array, bank: jax.Array,
-                        sample_idx: jax.Array, padding: str = "SAME",
+                        sample_idx: jax.Array, padding="SAME",
                         block_b: int = 0, block_c: int = 128,
                         block_f: int = 0, interpret: bool = False,
                         bias: jax.Array | None = None,
                         act: str | None = None, out_dtype=None,
-                        out_step: float | None = None) -> jax.Array:
+                        out_step: float | None = None,
+                        stride: int = 1) -> jax.Array:
     """``bank_conv`` with a vmap rule collapsing a mask-index-mapped call
     into ``bank_conv_samples`` launches."""
     f = _bank_conv_inference_vmapped(
         padding, block_b, block_c, block_f, interpret,
         (act, None if out_dtype is None else jnp.dtype(out_dtype).name,
-         out_step))
+         out_step), stride)
     if bias is None:
         bias = jnp.zeros((w.shape[-1],), jnp.float32)
     return f(x, w, bank, sample_idx, bias)
@@ -772,15 +845,16 @@ def bank_conv_inference(x: jax.Array, w: jax.Array, bank: jax.Array,
 def conv_int8_fused(x_q: jax.Array, w_q: jax.Array, x_step: float,
                     w_step: float, bias: jax.Array | None = None,
                     act: str | None = None, out_step: float | None = None,
-                    padding: str = "SAME", block_b: int = 0,
+                    padding="SAME", block_b: int = 0,
                     block_c: int = 128, block_f: int = 0,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool = False, stride: int = 1) -> jax.Array:
     """Plain int8 conv + epilogue: ``requant(act(acc·(xs·ws) + bias))``.
 
     With ``out_step`` set the output is int8 on the ap_fixed grid — the
     layer-to-layer int8 residency primitive (no f32 activations in HBM)."""
     assert x_q.dtype == jnp.int8 and w_q.dtype == jnp.int8
-    g = _Geom(x_q.shape, w_q.shape, padding, block_b, block_c, block_f)
+    g = _Geom(x_q.shape, w_q.shape, padding, block_b, block_c, block_f,
+              stride=stride)
     epi = _make_epi(bias, act, out_step, None)
     out_scale = float(x_step) * float(w_step)
     return _launch_masked(x_q, w_q, jnp.zeros((1, 2), jnp.int32), bias, g=g,
@@ -791,11 +865,12 @@ def conv_int8_fused(x_q: jax.Array, w_q: jax.Array, x_step: float,
 
 def dropout_conv_int8(x_q: jax.Array, w_q: jax.Array, seeds: jax.Array,
                       rate: float, x_step: float, w_step: float,
-                      padding: str = "SAME", block_b: int = 0,
+                      padding="SAME", block_b: int = 0,
                       block_c: int = 128, block_f: int = 0,
                       interpret: bool = False, bias: jax.Array | None = None,
                       act: str | None = None,
-                      out_step: float | None = None) -> jax.Array:
+                      out_step: float | None = None,
+                      stride: int = 1) -> jax.Array:
     """``dequant(conv(dropout(x_q), w_q))`` fully in int8 on the MXU.
 
     Keep decisions are bit-identical to ``dropout_conv`` for equal seeds;
@@ -803,7 +878,8 @@ def dropout_conv_int8(x_q: jax.Array, w_q: jax.Array, seeds: jax.Array,
     the epilogue kwargs, bias/ReLU/requantize run in the same store.
     """
     assert x_q.dtype == jnp.int8 and w_q.dtype == jnp.int8
-    g = _Geom(x_q.shape, w_q.shape, padding, block_b, block_c, block_f)
+    g = _Geom(x_q.shape, w_q.shape, padding, block_b, block_c, block_f,
+              stride=stride)
     out_scale = float(x_step) * float(w_step) / (1.0 - rate)
     epi = _make_epi(bias, act, out_step, None)
     return _launch_masked(x_q, w_q, jnp.reshape(seeds, (1, 2)), bias, g=g,
@@ -814,19 +890,20 @@ def dropout_conv_int8(x_q: jax.Array, w_q: jax.Array, seeds: jax.Array,
 
 def dropout_conv_int8_samples(x_q: jax.Array, w_q: jax.Array,
                               seeds: jax.Array, rate: float, x_step: float,
-                              w_step: float, padding: str = "SAME",
+                              w_step: float, padding="SAME",
                               block_b: int = 0, block_c: int = 128,
                               block_f: int = 0, interpret: bool = False,
                               bias: jax.Array | None = None,
                               act: str | None = None,
-                              out_step: float | None = None) -> jax.Array:
+                              out_step: float | None = None,
+                              stride: int = 1) -> jax.Array:
     """All-samples int8 fused MC conv: row s bit-identical to
     ``dropout_conv_int8(x_q, w_q, seeds[s], ...)``; the int8 x tile is
     fetched once for all S samples."""
     assert x_q.dtype == jnp.int8 and w_q.dtype == jnp.int8
     num_samples = seeds.shape[0]
     g = _Geom(x_q.shape, w_q.shape, padding, block_b, block_c, block_f,
-              num_samples=num_samples)
+              num_samples=num_samples, stride=stride)
     out_scale = float(x_step) * float(w_step) / (1.0 - rate)
     epi = _make_epi(bias, act, out_step, None)
     return _launch_masked(x_q, w_q, seeds, bias, g=g, rate=rate, epi=epi,
@@ -837,7 +914,8 @@ def dropout_conv_int8_samples(x_q: jax.Array, w_q: jax.Array,
 
 @functools.lru_cache(maxsize=None)
 def _conv_int8_inference_vmapped(rate, x_step, w_step, padding, block_b,
-                                 block_c, block_f, interpret, epi_key):
+                                 block_c, block_f, interpret, epi_key,
+                                 stride=1):
     act, out_step = epi_key
 
     @jax.custom_batching.custom_vmap
@@ -845,7 +923,7 @@ def _conv_int8_inference_vmapped(rate, x_step, w_step, padding, block_b,
         return dropout_conv_int8(x_q, w_q, seeds, rate, x_step, w_step,
                                  padding, block_b, block_c, block_f,
                                  interpret, bias=bias, act=act,
-                                 out_step=out_step)
+                                 out_step=out_step, stride=stride)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, x_q, w_q, seeds, bias):
@@ -855,7 +933,7 @@ def _conv_int8_inference_vmapped(rate, x_step, w_step, padding, block_b,
             outs = [dropout_conv_int8_samples(
                 x_q, w_q, seeds2[i:i + _CONV_SAMPLE_CHUNK], rate, x_step,
                 w_step, padding, block_b, block_c, block_f, interpret,
-                bias=bias, act=act, out_step=out_step)
+                bias=bias, act=act, out_step=out_step, stride=stride)
                 for i in range(0, axis_size, _CONV_SAMPLE_CHUNK)]
             out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
             return out, True
@@ -871,16 +949,17 @@ def _conv_int8_inference_vmapped(rate, x_step, w_step, padding, block_b,
 def dropout_conv_int8_inference(x_q: jax.Array, w_q: jax.Array,
                                 seeds: jax.Array, rate: float,
                                 x_step: float, w_step: float,
-                                padding: str = "SAME", block_b: int = 0,
+                                padding="SAME", block_b: int = 0,
                                 block_c: int = 128, block_f: int = 0,
                                 interpret: bool = False,
                                 bias: jax.Array | None = None,
                                 act: str | None = None,
-                                out_step: float | None = None) -> jax.Array:
+                                out_step: float | None = None,
+                                stride: int = 1) -> jax.Array:
     """``dropout_conv_int8`` with the seeds-mapped vmap collapse rule."""
     f = _conv_int8_inference_vmapped(
         rate, float(x_step), float(w_step), padding, block_b, block_c,
-        block_f, interpret, (act, out_step))
+        block_f, interpret, (act, out_step), stride)
     if bias is None:
         bias = jnp.zeros((w_q.shape[-1],), jnp.float32)
     return f(x_q, w_q, seeds, bias)
@@ -888,15 +967,17 @@ def dropout_conv_int8_inference(x_q: jax.Array, w_q: jax.Array,
 
 def bank_conv_int8(x_q: jax.Array, w_q: jax.Array, bank: jax.Array,
                    sample_idx: jax.Array, x_step: float, w_step: float,
-                   padding: str = "SAME", block_b: int = 0,
+                   padding="SAME", block_b: int = 0,
                    block_c: int = 128, block_f: int = 0,
                    interpret: bool = False, bias: jax.Array | None = None,
                    act: str | None = None,
-                   out_step: float | None = None) -> jax.Array:
+                   out_step: float | None = None,
+                   stride: int = 1) -> jax.Array:
     """Masksembles fused conv on the int8 MXU path (binary bank carried as
     int8, row picked by scalar prefetch)."""
     assert x_q.dtype == jnp.int8 and w_q.dtype == jnp.int8
-    g = _Geom(x_q.shape, w_q.shape, padding, block_b, block_c, block_f)
+    g = _Geom(x_q.shape, w_q.shape, padding, block_b, block_c, block_f,
+              stride=stride)
     idx = jnp.asarray(sample_idx, jnp.int32).reshape((1,)) % bank.shape[0]
     epi = _make_epi(bias, act, out_step, None)
     return _launch_bank({}, x_q, w_q, bank, idx, bias, g=g, epi=epi,
@@ -912,12 +993,13 @@ def bank_conv_int8_samples(x_q: jax.Array, w_q: jax.Array, bank: jax.Array,
                            block_f: int = 0, interpret: bool = False,
                            bias: jax.Array | None = None,
                            act: str | None = None,
-                           out_step: float | None = None) -> jax.Array:
+                           out_step: float | None = None,
+                           stride: int = 1) -> jax.Array:
     """All-masks int8 fused Masksembles conv (x fetched once per S)."""
     assert x_q.dtype == jnp.int8 and w_q.dtype == jnp.int8
     num_samples = sample_idxs.shape[0]
     g = _Geom(x_q.shape, w_q.shape, padding, block_b, block_c, block_f,
-              num_samples=num_samples)
+              num_samples=num_samples, stride=stride)
     idxs = jnp.asarray(sample_idxs, jnp.int32) % bank.shape[0]
     epi = _make_epi(bias, act, out_step, None)
     return _launch_bank({}, x_q, w_q, bank, idxs, bias, g=g, epi=epi,
@@ -929,14 +1011,16 @@ def bank_conv_int8_samples(x_q: jax.Array, w_q: jax.Array, bank: jax.Array,
 
 @functools.lru_cache(maxsize=None)
 def _bank_conv_int8_inference_vmapped(x_step, w_step, padding, block_b,
-                                      block_c, block_f, interpret, epi_key):
+                                      block_c, block_f, interpret, epi_key,
+                                      stride=1):
     act, out_step = epi_key
 
     @jax.custom_batching.custom_vmap
     def f(x_q, w_q, bank, sample_idx, bias):
         return bank_conv_int8(x_q, w_q, bank, sample_idx, x_step, w_step,
                               padding, block_b, block_c, block_f, interpret,
-                              bias=bias, act=act, out_step=out_step)
+                              bias=bias, act=act, out_step=out_step,
+                              stride=stride)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, x_q, w_q, bank, sample_idx, bias):
@@ -946,7 +1030,7 @@ def _bank_conv_int8_inference_vmapped(x_step, w_step, padding, block_b,
             outs = [bank_conv_int8_samples(
                 x_q, w_q, bank, idxs[i:i + _CONV_SAMPLE_CHUNK], x_step,
                 w_step, padding, block_b, block_c, block_f, interpret,
-                bias=bias, act=act, out_step=out_step)
+                bias=bias, act=act, out_step=out_step, stride=stride)
                 for i in range(0, axis_size, _CONV_SAMPLE_CHUNK)]
             out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
             return out, True
@@ -964,16 +1048,17 @@ def _bank_conv_int8_inference_vmapped(x_step, w_step, padding, block_b,
 def bank_conv_int8_inference(x_q: jax.Array, w_q: jax.Array,
                              bank: jax.Array, sample_idx: jax.Array,
                              x_step: float, w_step: float,
-                             padding: str = "SAME", block_b: int = 0,
+                             padding="SAME", block_b: int = 0,
                              block_c: int = 128, block_f: int = 0,
                              interpret: bool = False,
                              bias: jax.Array | None = None,
                              act: str | None = None,
-                             out_step: float | None = None) -> jax.Array:
+                             out_step: float | None = None,
+                             stride: int = 1) -> jax.Array:
     """``bank_conv_int8`` with the sample-index vmap collapse rule."""
     f = _bank_conv_int8_inference_vmapped(
         float(x_step), float(w_step), padding, block_b, block_c, block_f,
-        interpret, (act, out_step))
+        interpret, (act, out_step), stride)
     if bias is None:
         bias = jnp.zeros((w_q.shape[-1],), jnp.float32)
     return f(x_q, w_q, bank, sample_idx, bias)

@@ -199,10 +199,18 @@ class Sequential(nn.Module):
                 x = x.reshape((x.shape[0], -1))
             elif isinstance(s, Bayes):
                 nxt = self.specs[i + 1] if i + 1 < len(self.specs) else None
-                if self.fused and isinstance(nxt, (C, D)) and (
+                # never defer into the LAST Dense: its input is recorded as
+                # the exit feature, and a fused (in-kernel) mask would make
+                # `feat` the PRE-mask activation while the materialized path
+                # records the masked one — feature-based metrics (aPE on
+                # features) must be like-for-like (ADVICE r2 #2)
+                last_d = max((j for j, t in enumerate(self.specs)
+                              if isinstance(t, D)), default=-1)
+                if (self.fused and isinstance(nxt, (C, D))
+                        and i + 1 != last_d and (
                         isinstance(nxt, D)
                         or (tuple(nxt.strides) == (1, 1)
-                            and isinstance(nxt.padding, str))):
+                            and isinstance(nxt.padding, str)))):
                     pending = s.cfg   # consumed by the next layer's kernel
                 else:
                     x = BayesSite(s.cfg, name=f"bayes_{i}")(x, **site_kw)

@@ -55,15 +55,18 @@ def _det_conv_pallas(in_ch: int, x_shape, interp: bool) -> bool:
     """Routing for DETERMINISTIC convs (no mask to fuse): Pallas fused
     epilogue kernel vs XLA conv + XLA-fused epilogue.
 
-    Measured on a v5e at the zoo's shapes (fetch-fenced, 3×3 SAME, batch
-    128): XLA wins 2× at the early large-spatial/narrow layers
-    (32²×64: 172 µs vs 355 µs bf16, 143 vs 306 int8) while the Pallas
-    shifted-matmul conv wins at the deep narrow-spatial/wide layers
-    (8²×256: 113 vs 123, 4²×512: 133 vs 153; int8 141 vs 185, 170 vs 180).
-    Masked sites always use the Pallas kernels (the in-kernel mask saves an
-    HBM round-trip XLA cannot); deterministic ones route by channel width.
+    Always XLA. Measured on a v5e: in ISOLATION the Pallas shifted-matmul
+    conv wins at deep narrow-spatial/wide layers (8²×256: 113 µs vs 123,
+    4²×512: 133 vs 153) and loses 2× at early layers (32²×64: 355 vs 172) —
+    but IN-MODEL routing the deep deterministic convs to Pallas makes
+    vgg11_me 1.6× slower (1.38M vs 2.23M samples/s, paired fetch-fenced
+    runs): each Pallas call is an opaque fusion boundary, so XLA can no
+    longer fuse the surrounding casts/pools/adds into its conv fusions, and
+    the isolated-kernel win inverts. Masked sites are different — there the
+    in-kernel mask saves an HBM round-trip XLA cannot, which pays for the
+    boundary — so they always use the Pallas kernels.
     """
-    return in_ch >= 256
+    return False
 
 
 class BayesConvInput(nn.Module):
@@ -110,11 +113,14 @@ class BayesConv(nn.Module):
     (``bayestpu.kernels.masked_conv``): neither the mask nor the masked
     activation touches HBM.
 
-    Fusion requires stride (1, 1) and str padding — other cases fall back to
-    the elementwise-masked path (``BayesianDropout``/``Masksembles`` site +
-    XLA conv), as does ``fused=False``. The kernel/bias params live directly
-    on this module, so swapping ``Conv`` ↔ ``BayesConv`` under the same name
-    keeps the param tree unchanged.
+    Fusion covers stride (1, 1) and (2, 2) with str or explicit symmetric
+    padding (stride 2 via the kernel's phase decomposition — the reference
+    inserts Bayes layers at strided convs too, ``t_qmodels_bayes.py:54-79``);
+    other cases fall back to the elementwise-masked path
+    (``BayesianDropout``/``Masksembles`` site + XLA conv), as does
+    ``fused=False``. The kernel/bias params live directly on this module, so
+    swapping ``Conv`` ↔ ``BayesConv`` under the same name keeps the param
+    tree unchanged.
     """
 
     features: int
@@ -129,9 +135,27 @@ class BayesConv(nn.Module):
     bank_seed: int = 0
 
     def _can_fuse(self) -> bool:
-        return (self.fused and tuple(self.strides) == (1, 1)
-                and isinstance(self.padding, str)
-                and self.padding in ("SAME", "VALID"))
+        if not self.fused or tuple(self.strides) not in ((1, 1), (2, 2)):
+            return False
+        if isinstance(self.padding, str):
+            return self.padding in ("SAME", "VALID")
+        try:  # explicit ((lo,hi),(lo,hi)) pairs (resnet stride-2 sites)
+            (a, b), (c, d) = self.padding
+            return all(int(v) >= 0 for v in (a, b, c, d))
+        except (TypeError, ValueError):
+            return False
+
+    def _pad_stride(self):
+        """Hashable (padding, stride) for the kernel entry points."""
+        p = self.padding if isinstance(self.padding, str) else tuple(
+            (int(a), int(b)) for a, b in self.padding)
+        return p, int(self.strides[0])
+
+    def _seeds(self, seeds):
+        if seeds is not None:
+            return seeds
+        key = self.make_rng(BAYES_RNG)
+        return jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
 
     def _xla_conv(self, x, kernel, train: bool = True):
         xd = x.astype(self.dtype)
@@ -158,12 +182,16 @@ class BayesConv(nn.Module):
                  fold_scale: jax.Array | None = None,
                  fold_bias: jax.Array | None = None,
                  act: str | None = None, act_quant: bool = False,
-                 emit_int8: bool = False) -> jax.Array:
+                 emit_int8: bool = False,
+                 seeds: jax.Array | None = None) -> jax.Array:
         """``act``/``act_quant``: a following activation (+ QuantAct-style
         unsigned fake-quant) folded into the kernel epilogue where possible.
         ``emit_int8``: caller guarantees every consumer requantizes on the
         same grid, so the int8 path may emit int8 even without ``act_quant``
         (bit-identical by construction — see kernels.masked_conv docstring).
+        ``seeds``: override the MC mask seeds (2,) int32 — lets a caller
+        fuse ONE Bayesian site into several consumer convs (e.g. a resnet
+        block's main + projection paths) with bit-identical masks.
         """
         in_ch = x.shape[-1]
         kshape = tuple(self.kernel_size) + (in_ch, self.features)
@@ -209,7 +237,9 @@ class BayesConv(nn.Module):
         out_dtype = (jnp.bfloat16 if self.dtype == jnp.bfloat16
                      and not train and q is None else None)
         interp = _use_interpret()
-        epi_kw = dict(bias=bias_vec, act=act, out_step=out_step)
+        pad_k, stride_k = self._pad_stride()
+        epi_kw = dict(bias=bias_vec, act=act, out_step=out_step,
+                      stride=stride_k)
         if int8_mode:
             xq, xs = quantize_int8(x if x.dtype == jnp.int8 else x_f, q)
             wq, ws = quantize_int8(kernel, q)
@@ -237,7 +267,7 @@ class BayesConv(nn.Module):
                 y = self._xla_conv(xm, kernel, train)
             elif int8_fused:
                 y = bank_conv_int8_inference(xq, wq, bank, sample_idx, xs,
-                                             ws, self.padding,
+                                             ws, pad_k,
                                              interpret=interp, **epi_kw)
                 done = True
             elif fusable:
@@ -245,7 +275,7 @@ class BayesConv(nn.Module):
                 # unfused per-mask comparison is exact (verify_accuracy
                 # golden protocol)
                 y = bank_conv_inference(x_f, kernel, bank, sample_idx,
-                                        self.padding, interpret=interp,
+                                        pad_k, interpret=interp,
                                         **epi_kw)
                 done = True
             else:
@@ -255,28 +285,22 @@ class BayesConv(nn.Module):
                 y = self._xla_conv(x_f * row, kernel, train)
         elif kind is DropoutKind.MC and self.bayes.rate > 0.0:
             if int8_fused:
-                key = self.make_rng(BAYES_RNG)
-                seeds = jax.random.key_data(key).astype(
-                    jnp.int32).reshape(-1)[:2]
+                seeds = self._seeds(seeds)
                 y = dropout_conv_int8_inference(
-                    xq, wq, seeds, self.bayes.rate, xs, ws, self.padding,
+                    xq, wq, seeds, self.bayes.rate, xs, ws, pad_k,
                     interpret=interp, **epi_kw)
                 done = True
             elif fusable and train:
-                key = self.make_rng(BAYES_RNG)
-                seeds = jax.random.key_data(key).astype(
-                    jnp.int32).reshape(-1)[:2]
+                seeds = self._seeds(seeds)
                 y = dropout_conv(x_f.astype(self.dtype),
                                  kernel.astype(self.dtype), seeds,
-                                 self.bayes.rate, self.padding,
-                                 interpret=interp)
+                                 self.bayes.rate, pad_k,
+                                 interpret=interp, stride=stride_k)
             elif fusable:
-                key = self.make_rng(BAYES_RNG)
-                seeds = jax.random.key_data(key).astype(
-                    jnp.int32).reshape(-1)[:2]
+                seeds = self._seeds(seeds)
                 y = dropout_conv_inference(
                     x_f.astype(self.dtype), kernel.astype(self.dtype),
-                    seeds, self.bayes.rate, self.padding, interpret=interp,
+                    seeds, self.bayes.rate, pad_k, interpret=interp,
                     out_dtype=out_dtype, **epi_kw)
                 done = True
             else:
@@ -284,7 +308,7 @@ class BayesConv(nn.Module):
                     x_f, sample_idx=sample_idx, train=train)
                 y = self._xla_conv(xm, kernel, train)
         elif int8_fused and _det_conv_pallas(in_ch, x.shape, interp):
-            y = conv_int8_fused(xq, wq, xs, ws, padding=self.padding,
+            y = conv_int8_fused(xq, wq, xs, ws, padding=pad_k,
                                 interpret=interp, **epi_kw)
             done = True
         elif int8_mode:
@@ -305,7 +329,7 @@ class BayesConv(nn.Module):
             # identical epilogue; kernel parity is covered by masked_conv
             # tests. Early layers stay on XLA (see _det_conv_pallas).
             y = conv_fused(x_f.astype(self.dtype),
-                           kernel.astype(self.dtype), padding=self.padding,
+                           kernel.astype(self.dtype), padding=pad_k,
                            interpret=interp, out_dtype=out_dtype, **epi_kw)
             done = True
         else:

@@ -181,7 +181,7 @@ class ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False, sample_idx=0,
                  act: str | None = None, act_quant: bool = False,
-                 emit_int8: bool = False) -> jax.Array:
+                 emit_int8: bool = False, seeds=None) -> jax.Array:
         from bayestpu.core.config import BayesConfig, DropoutKind
         from bayestpu.nn.fused import BayesConv
 
@@ -197,7 +197,7 @@ class ConvBN(nn.Module):
                           momentum=self.momentum, epsilon=self.epsilon,
                           name="bn")
         if train:
-            y = bn(conv(x, sample_idx=sample_idx, train=True))
+            y = bn(conv(x, sample_idx=sample_idx, train=True, seeds=seeds))
             if act == "relu":
                 y = nn.relu(y)
                 if act_quant and self.quant is not None:
@@ -217,7 +217,8 @@ class ConvBN(nn.Module):
         inv = jax.lax.rsqrt(sb["var"] + self.epsilon) * pb["scale"]
         return conv(x, sample_idx=sample_idx, train=False,
                     fold_scale=inv, fold_bias=pb["bias"] - sb["mean"] * inv,
-                    act=act, act_quant=act_quant, emit_int8=emit_int8)
+                    act=act, act_quant=act_quant, emit_int8=emit_int8,
+                    seeds=seeds)
 
 
 def max_pool(x: jax.Array, window: int | tuple[int, int],

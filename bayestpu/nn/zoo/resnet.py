@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import dataclasses
 
 from bayestpu.core.config import BayesConfig, DropoutKind, QuantConfig
+from bayestpu.core.rng import BAYES_RNG
 from bayestpu.nn.bayes import BayesSite
 from bayestpu.nn.fused import BayesDense
 from bayestpu.nn.layers import ConvBN, Dense, avg_pool
@@ -47,23 +48,37 @@ class BasicBlock(nn.Module):
     stride: int = 1
     quant: QuantConfig | None = None
     dtype: jnp.dtype = jnp.float32
+    # Bayesian site on the block INPUT, fused into convbn1's Pallas kernel
+    # (set by ResNet18 for 'block'/'layer' sites when fused and single-exit;
+    # stride-2 sites ride the kernel's phase decomposition). NOTE: the
+    # residual branch must see the SAME masked input, so fusion is only
+    # valid when the caller also masks the residual path — ResNet18 keeps
+    # bayes_in for blocks whose residual is identity-free (downsample), and
+    # passes the same site to the downsample conv.
+    bayes_in: "BayesConfig | None" = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False,
+                 site_seeds=None) -> jax.Array:
         residual = x
         # the inter-conv relu folds into convbn1's kernel epilogue at
         # inference (the post-add relus can't — the residual join is the
-        # consumer); strided first blocks fall back to XLA's fused epilogue
+        # consumer)
         y = ConvBN(self.planes, (3, 3), (self.stride, self.stride),
                    padding=_P3, quant=self.quant, dtype=self.dtype,
-                   name="convbn1")(x, train=train, act="relu")
+                   bayes=self.bayes_in, name="convbn1")(
+            x, train=train, sample_idx=sample_idx, act="relu",
+            seeds=site_seeds)
         y = ConvBN(self.planes, (3, 3), padding=_P3, quant=self.quant,
                    dtype=self.dtype, name="convbn2")(y, train=train)
         if self.stride != 1 or x.shape[-1] != self.planes:
+            # same site, same seeds: the projection path sees the identical
+            # mask the main path saw (single-site semantics preserved)
             residual = ConvBN(self.planes, (1, 1),
                               (self.stride, self.stride), quant=self.quant,
-                              dtype=self.dtype, name="downsample")(
-                x, train=train)
+                              dtype=self.dtype, bayes=self.bayes_in,
+                              name="downsample")(
+                x, train=train, sample_idx=sample_idx, seeds=site_seeds)
         return nn.relu(y + residual)
 
 
@@ -77,13 +92,17 @@ class Bottleneck(nn.Module):
     expansion: int = 4
     quant: QuantConfig | None = None
     dtype: jnp.dtype = jnp.float32
+    bayes_in: "BayesConfig | None" = None   # see BasicBlock.bayes_in
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False,
+                 site_seeds=None) -> jax.Array:
         out_ch = self.planes * self.expansion
         residual = x
         y = ConvBN(self.planes, (1, 1), quant=self.quant, dtype=self.dtype,
-                   name="convbn1")(x, train=train, act="relu")
+                   bayes=self.bayes_in, name="convbn1")(
+            x, train=train, sample_idx=sample_idx, act="relu",
+            seeds=site_seeds)
         y = ConvBN(self.planes, (3, 3), (self.stride, self.stride),
                    padding=_P3, quant=self.quant, dtype=self.dtype,
                    name="convbn2")(y, train=train, act="relu")
@@ -92,7 +111,8 @@ class Bottleneck(nn.Module):
         if self.stride != 1 or x.shape[-1] != out_ch:
             residual = ConvBN(out_ch, (1, 1), (self.stride, self.stride),
                               quant=self.quant, dtype=self.dtype,
-                              name="downsample")(x, train=train)
+                              bayes=self.bayes_in, name="downsample")(
+                x, train=train, sample_idx=sample_idx, seeds=site_seeds)
         return nn.relu(y + residual)
 
 
@@ -154,21 +174,48 @@ class ResNet18(nn.Module):
 
         exits: list[jax.Array] = []
         feats: list[jax.Array] = []
+        # Single-exit fused models defer a stage-boundary site into the NEXT
+        # stage's first (projection) block: both its main-path stride-2 conv
+        # and its 1×1 projection conv apply the SAME mask in-kernel (shared
+        # seeds / shared bank), so the site never materializes in HBM — the
+        # strided-site fusion the reference synthesizes on-fabric
+        # (``t_qmodels_bayes.py:54-79``). With exits the site output feeds
+        # the exit head too and must stay materialized; identity blocks
+        # (no projection) would leave the residual unmasked, so in-stage
+        # 'layer' sites stay materialized as well.
+        can_defer = self.fused and self.n_exits == 1
+        pending: BayesConfig | None = None
         for s in range(n_stages):
             block_cls = BasicBlock if self.block == "basic" else Bottleneck
             for b in range(self.stage_blocks[s]):
                 stride = 2 if (s > 0 and b == 0) else 1
+                seeds = None
+                if pending is not None and pending.kind is DropoutKind.MC:
+                    k = self.make_rng(BAYES_RNG)
+                    seeds = jax.random.key_data(k).astype(
+                        jnp.int32).reshape(-1)[:2]
                 out = block_cls(self.stage_planes[s], stride, quant=q,
-                                dtype=dt, name=f"layer{s + 1}_{b}")(
-                    out, train=train)
+                                dtype=dt, bayes_in=pending,
+                                name=f"layer{s + 1}_{b}")(
+                    out, sample_idx=sample_idx, train=train,
+                    site_seeds=seeds)
+                pending = None
                 is_very_last = (s == n_stages - 1 and
                                 b == self.stage_blocks[s] - 1)
+                last_in_stage = b == self.stage_blocks[s] - 1
                 if self.dropout == "layer" and not is_very_last:
-                    out = BayesSite(self.bayes,
-                                    name=f"bayes_l{s + 1}_{b}")(out, **site_kw)
+                    if can_defer and last_in_stage:
+                        pending = self.bayes
+                    else:
+                        out = BayesSite(self.bayes,
+                                        name=f"bayes_l{s + 1}_{b}")(
+                            out, **site_kw)
             if self.dropout == "block" and s < n_stages - 1:
-                out = BayesSite(self.bayes, name=f"bayes_s{s + 1}")(
-                    out, **site_kw)
+                if can_defer:
+                    pending = self.bayes
+                else:
+                    out = BayesSite(self.bayes, name=f"bayes_s{s + 1}")(
+                        out, **site_kw)
             if self.n_exits > 1 and s < n_stages - 1:
                 chans = tuple(self.stage_planes[s + 1:])
                 logit, feat = _ExitHead(

@@ -61,12 +61,14 @@ def cost_report(fn: Callable, *args: Any) -> dict:
     return rep
 
 
-def measure(fn: Callable, *args: Any, iters: int = 20) -> float:
+def measure(fn: Callable, *args: Any, iters: int = 20,
+            min_diff_s: float = 0.3, max_iters: int = 25600) -> float:
     """Per-call wall time of a jitted fn (seconds), value-fetch fenced
     (``block_until_ready`` does not fence execution over the tunnel —
     see ``bench.timing``)."""
     from bayestpu.utils.timing import pipelined_s
-    return pipelined_s(jax.jit(fn), *args, iters=iters, repeats=2)
+    return pipelined_s(jax.jit(fn), *args, iters=iters, repeats=2,
+                       min_diff_s=min_diff_s, max_iters=max_iters)
 
 
 def chip_generation() -> str:

@@ -69,25 +69,39 @@ def pipelined_windows_s(fn, *args, iters: int = 50, warmup: int = 1,
     valid = sorted(w for w in windows if w > 0)
     if not valid:
         # Even max_iters-call windows are jitter-dominated: report the
-        # conservative whole-window mean (includes one RTT — upper bound).
+        # conservative whole-window mean (includes one RTT — upper bound)
+        # and TAG it so mixed sweeps can tell this point apart from the
+        # RTT-cancelled window-differenced ones (ADVICE r2 #4).
+        pipelined_windows_s.last_was_fallback = True
         valid = [t2 / (2 * k)]
+    else:
+        pipelined_windows_s.last_was_fallback = False
     return valid
 
 
+pipelined_windows_s.last_was_fallback = False
+
+
 def pipelined_s(fn, *args, iters: int = 50, warmup: int = 1,
-                repeats: int = 3) -> float:
+                repeats: int = 3, min_diff_s: float = 0.3,
+                max_iters: int = 25600) -> float:
     """Median-window per-call device time (seconds) — the robust default
-    (the best window under-reads by whatever the RTT jitter gave back)."""
+    (the best window under-reads by whatever the RTT jitter gave back).
+    ``min_diff_s``/``max_iters`` bound the auto-scaling (a fast function can
+    otherwise run ~1e5 calls per point — ADVICE r2 #4)."""
     w = pipelined_windows_s(fn, *args, iters=iters, warmup=warmup,
-                            repeats=repeats)
+                            repeats=repeats, min_diff_s=min_diff_s,
+                            max_iters=max_iters)
     return w[len(w) // 2]
 
 
 def pipelined_best_s(fn, *args, iters: int = 50, warmup: int = 1,
-                     repeats: int = 3) -> float:
+                     repeats: int = 3, min_diff_s: float = 0.3,
+                     max_iters: int = 25600) -> float:
     """Best-window per-call time — optimistic; prefer ``pipelined_s``."""
     return pipelined_windows_s(fn, *args, iters=iters, warmup=warmup,
-                               repeats=repeats)[0]
+                               repeats=repeats, min_diff_s=min_diff_s,
+                               max_iters=max_iters)[0]
 
 
 def blocking_latencies_s(fn, *args, iters: int = 50,

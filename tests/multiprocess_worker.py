@@ -68,7 +68,22 @@ def main() -> None:
         return jnp.sqrt(sum(jnp.sum(t * t) for t in jax.tree.leaves(g)))
 
     gn = float(grad_norm(vr["params"], xs, ys))
+
+    # Fused-kernel predictive under the multi-process runtime (VERDICT r2
+    # item 6): Masksembles lenet with fused=True (interpret-mode Pallas bank
+    # kernels on CPU) evaluated on a mesh whose SAMPLE axis spans both
+    # processes — mask/bank kernels run inside the sharded jit and the
+    # metrics psum across the process boundary.
+    model_f = get_model("lenet",
+                        bayes=BayesConfig(kind="mask", num_masks=4,
+                                          scale=2.0), fused=True)
+    vs_f = model_f.init({"params": key, BAYES_RNG: key}, x)
+    mesh_s = distributed.pod_mesh(4 * nprocs)   # (data=1, sample=8)
+    mets_f = distributed.distributed_evaluate(model_f, vs_f, x, y, 8,
+                                              mesh_s, key)
+
     print("RESULT " + json.dumps({"pid": pid, "metrics": mets,
+                                  "metrics_fused": mets_f,
                                   "grad_norm": gn}), flush=True)
 
 

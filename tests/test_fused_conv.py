@@ -410,3 +410,99 @@ def test_bayes_conv_bf16_dtype_path():
                    "bayes": jax.random.PRNGKey(1)}, x.reshape(4, -1))
     yd = d16.apply(vd, x.reshape(4, -1), rngs=r)
     assert yd.shape == (4, 8) and bool(jnp.all(jnp.isfinite(yd)))
+
+
+# ------------------------------------------------------------- stride 2
+
+def test_stride2_kernels_match_xla():
+    """Stride-2 phase-decomposition kernels (VERDICT r2 item 5): every
+    family (plain/dropout/bank/int8) matches the XLA reference conv at
+    resnet-downsample and VGG-exit shape classes, incl. explicit padding."""
+    from bayestpu.kernels.masked_conv import (
+        _conv_ref,
+        bank_conv,
+        conv_fused,
+        conv_int8_fused,
+        dropout_conv,
+        mask_apply_nhwc,
+    )
+
+    rng = np.random.default_rng(0)
+    for (n, h, w, ci, co, kh, pad) in [
+        (4, 32, 32, 16, 24, 3, ((1, 1), (1, 1))),   # resnet downsample
+        (4, 16, 16, 8, 16, 3, "SAME"),
+        (4, 15, 15, 8, 16, 3, "VALID"),
+        (4, 8, 8, 16, 16, 1, "VALID"),              # 1×1 s2 projection
+        (4, 9, 9, 8, 16, 5, ((2, 2), (2, 2))),
+    ]:
+        x = jnp.asarray(rng.normal(size=(n, h, w, ci)), jnp.float32)
+        wt = jnp.asarray(rng.normal(size=(kh, kh, ci, co)) * 0.1,
+                         jnp.float32)
+        want = _conv_ref(x, wt, pad, 2)
+        got = conv_fused(x, wt, padding=pad, stride=2, interpret=True)
+        assert want.shape == got.shape, (pad, want.shape, got.shape)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    x = jnp.asarray(rng.normal(size=(4, 16, 16, 8)), jnp.float32)
+    wt = jnp.asarray(rng.normal(size=(3, 3, 8, 16)) * 0.1, jnp.float32)
+    seeds = jnp.asarray([123, 456], jnp.int32)
+    p3 = ((1, 1), (1, 1))
+    # dropout: mask must equal the stride-agnostic elementwise mask
+    m = mask_apply_nhwc(jnp.ones_like(x), seeds, 0.3, interpret=True)
+    want = _conv_ref(x * m, wt, p3, 2)
+    got = dropout_conv(x, wt, seeds, 0.3, p3, interpret=True, stride=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    # gradients via the custom VJP (regenerated mask, XLA conv transposes)
+    def loss_f(a, b):
+        return jnp.sum(dropout_conv(a, b, seeds, 0.3, p3, 0, 128, 0,
+                                    True, 2) ** 2)
+    def loss_ref(a, b):
+        return jnp.sum(_conv_ref(a * m, b, p3, 2) ** 2)
+    g1, g2 = jax.grad(loss_f, argnums=(0, 1))(x, wt)
+    r1, r2 = jax.grad(loss_ref, argnums=(0, 1))(x, wt)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(r1),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(r2),
+                               rtol=1e-3, atol=1e-3)
+    # Masksembles bank row, scalar-prefetch select
+    bank = jnp.asarray((rng.random((4, 8)) > 0.4).astype(np.float32) * 1.7)
+    got = bank_conv(x, wt, bank, 2, p3, interpret=True, stride=2)
+    want = _conv_ref(x * bank[2], wt, p3, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    # int8 path (exact: integer conv)
+    xq = jnp.clip(jnp.round(x * 64), -128, 127).astype(jnp.int8)
+    wq = jnp.clip(jnp.round(wt * 256), -128, 127).astype(jnp.int8)
+    want = _conv_ref(xq.astype(jnp.float32), wq.astype(jnp.float32),
+                     p3, 2) * (2 ** -6 * 2 ** -8)
+    got = conv_int8_fused(xq, wq, 2 ** -6, 2 ** -8, padding=p3, stride=2,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-6)
+
+
+def test_resnet18_strided_site_fusion_parity(key):
+    """Single-exit fused resnet18 with 'block' sites: the stage-boundary
+    site fuses into the next stage's projection block (stride-2 main conv +
+    1×1 projection, SAME mask in both) and must match the materialized-site
+    unfused model — exactly the strided Bayes placement of the reference's
+    ``t_qmodels_bayes.py:54-79``."""
+    from bayestpu.nn.zoo import get_model
+
+    cfg = BayesConfig(kind=DropoutKind.MASK, num_masks=4, scale=2.0)
+    kw = dict(num_classes=10, n_exits=1, dropout="block",
+              dropout_exit=False, bayes=cfg)
+    m_fused = get_model("resnet18", fused=True, **kw)
+    m_plain = get_model("resnet18", fused=False, **kw)
+    x = jax.random.normal(key, (4, 32, 32, 3))
+    rngs = {"params": jax.random.PRNGKey(0), "bayes": jax.random.PRNGKey(1)}
+    v_f = m_fused.init(rngs, x, train=True)
+    v_p = m_plain.init(rngs, x, train=True)
+    # same param paths → same init values; banks equal by construction
+    for i in range(4):
+        yf = m_fused.apply(v_f, x, sample_idx=i).logits
+        yp = m_plain.apply(v_p, x, sample_idx=i).logits
+        np.testing.assert_allclose(np.asarray(yf), np.asarray(yp),
+                                   rtol=2e-3, atol=2e-3)

@@ -48,6 +48,15 @@ def _single_process_reference():
     mesh = sharding.make_mesh(2, 4)
     mets = distributed.distributed_evaluate(model, vs, x, y, 8, mesh, key)
 
+    # fused-kernel twin: sample axis over all 8 devices (the worker runs
+    # the identical computation with the sample axis crossing processes)
+    model_f = get_model("lenet",
+                        bayes=BayesConfig(kind="mask", num_masks=4,
+                                          scale=2.0), fused=True)
+    vs_f = model_f.init({"params": key, BAYES_RNG: key}, x)
+    mets_f = distributed.distributed_evaluate(
+        model_f, vs_f, x, y, 8, sharding.make_mesh(1, 8), key)
+
     dp = sharding.make_mesh(8, 1)
     xs = distributed.put_global(x, dp, P("data"))
     ys = distributed.put_global(y, dp, P("data"))
@@ -62,7 +71,7 @@ def _single_process_reference():
         g = jax.grad(loss)(params)
         return jnp.sqrt(sum(jnp.sum(t * t) for t in jax.tree.leaves(g)))
 
-    return mets, float(grad_norm(vs["params"], xs, ys))
+    return mets, mets_f, float(grad_norm(vs["params"], xs, ys))
 
 
 @needs_8
@@ -95,11 +104,17 @@ def test_two_process_psum_matches_single_process():
     for k in ("acc", "nll", "ece", "n"):
         assert outs[0]["metrics"][k] == pytest.approx(
             outs[1]["metrics"][k], abs=1e-6), k
+        assert outs[0]["metrics_fused"][k] == pytest.approx(
+            outs[1]["metrics_fused"][k], abs=1e-6), k
     assert outs[0]["grad_norm"] == pytest.approx(outs[1]["grad_norm"],
                                                  abs=1e-5)
 
-    ref_mets, ref_gn = _single_process_reference()
+    ref_mets, ref_fused, ref_gn = _single_process_reference()
     assert outs[0]["metrics"]["n"] == ref_mets["n"] == 32.0
     for k in ("acc", "nll", "ece"):
         assert outs[0]["metrics"][k] == pytest.approx(ref_mets[k], abs=2e-4), k
+        # fused Pallas path: sample axis crossed the process boundary in the
+        # workers; same bank + same keys → same metrics as single-process
+        assert outs[0]["metrics_fused"][k] == pytest.approx(
+            ref_fused[k], abs=2e-4), k
     assert outs[0]["grad_norm"] == pytest.approx(ref_gn, rel=2e-4)
