@@ -43,6 +43,10 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--quant_ibit", type=int, default=0)
     p.add_argument("--int8", action="store_true",
                    help="run contractions on the MXU int8 path")
+    p.add_argument("--quant_mixed_head", action="store_true",
+                   help="per-layer mixed precision: fc_0 bias + following "
+                        "relu at 2x the base bits (≙ s_qmodels_bayes.py:"
+                        "294-298 / qmodels.py:327-331; vgg models only)")
     p.add_argument("--opt_mode", default="spatial",
                    choices=["spatial", "temporal", "sharded"],
                    help="MC mapping (≙ S_*/T_* models)")
@@ -86,6 +90,12 @@ def build_model(a: argparse.Namespace):
     from bayestpu.data.datasets import _SHAPES
     from bayestpu.nn.zoo import get_model
     num_classes = _SHAPES[a.dataset][1]
+    kw = {}
+    if getattr(a, "quant_mixed_head", False):
+        if not a.model.startswith("vgg"):
+            raise SystemExit("--quant_mixed_head is a vgg head option "
+                             "(the reference's fc_0 2x-bits head)")
+        kw["mixed_head"] = True
     return get_model(a.model, bayes=bayes_from_args(a),
                      quant=quant_from_args(a), num_classes=num_classes,
-                     fused=a.fused)
+                     fused=a.fused, **kw)

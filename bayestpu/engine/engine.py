@@ -109,19 +109,31 @@ class BayesEngine:
         The measured replacement for the reference's hand-optimized
         per-model Strategy/ReuseFactor tables
         (``hls4ml_build.py:23-58,88-100``) — there the mapping is chosen by
-        authoring a table per net; here the engine times both mappings
-        (fetch-fenced, ``utils.timing``) and records the decision."""
-        from bayestpu.utils.timing import pipelined_s
+        authoring a table per net; here the engine times both mappings and
+        records the decision. Uses PAIRED alternation (``utils.timing.
+        paired_compare``): the two mappings alternate back-to-back and the
+        winner is the median per-pair ratio, so the choice is reproducible
+        under the tunnel's slow timing drift (unpaired sequential medians
+        rank-flip between runs — VERDICT r3 weak #3)."""
+        from bayestpu.utils.timing import paired_compare
 
         s = sampler.num_effective_samples(self.bayes, num_samples)
         key = jax.random.key(0)
-        timings = {}
-        for mode in (SamplingMode.SPATIAL, SamplingMode.TEMPORAL):
-            fn = self._predict_fn(s, mode)
-            timings[mode.value] = pipelined_s(
-                fn, self.variables, sample_input, key, iters=iters)
-        win = min(timings, key=timings.get)
-        self._tuned = {"mode": win, "timings_s": timings,
+        f_sp = self._predict_fn(s, SamplingMode.SPATIAL)
+        f_tm = self._predict_fn(s, SamplingMode.TEMPORAL)
+        cmp = paired_compare(
+            lambda: f_sp(self.variables, sample_input, key),
+            lambda: f_tm(self.variables, sample_input, key),
+            pairs=3, iters=iters,
+            labels=(SamplingMode.SPATIAL.value, SamplingMode.TEMPORAL.value))
+        win = cmp["winner"]
+        self._tuned = {"mode": win,
+                       "timings_s": {
+                           SamplingMode.SPATIAL.value:
+                               cmp[f"median_{SamplingMode.SPATIAL.value}_s"],
+                           SamplingMode.TEMPORAL.value:
+                               cmp[f"median_{SamplingMode.TEMPORAL.value}_s"]},
+                       "paired": cmp,
                        "num_samples": s,
                        "input_shape": tuple(sample_input.shape)}
         return dict(self._tuned)
@@ -323,21 +335,21 @@ class BayesEngine:
                   max_iters: int = 25600) -> dict:
         """Wall-clock latency/throughput of the compiled predict.
 
-        Value-fetch-fenced window differencing (``bench.timing``):
+        Value-fetch-fenced window differencing (``utils.timing``):
         ``block_until_ready`` does not fence execution over the tunnel."""
-        from bayestpu.utils.timing import pipelined_s
+        from bayestpu.utils.timing import measure_windows
 
         key = jax.random.key(0)
         s = sampler.num_effective_samples(self.bayes, num_samples)
-        from bayestpu.utils.timing import pipelined_windows_s
-
         fn = self._predict_fn(s)
-        dt = pipelined_s(fn, self.variables, x, key, iters=iters,
-                         min_diff_s=min_diff_s, max_iters=max_iters)
+        res = measure_windows(fn, self.variables, x, key, iters=iters,
+                              min_diff_s=min_diff_s, max_iters=max_iters)
+        dt = res.median_s
         b = x.shape[0]
         return {"latency_s": dt, "samples_per_s": b * s / dt,
                 "images_per_s": b / dt, "num_samples": s,
                 # True when the point came from the RTT-inclusive
                 # whole-window fallback rather than window differencing —
-                # not comparable with differenced neighbors (ADVICE r2 #4)
-                "rtt_fallback": bool(pipelined_windows_s.last_was_fallback)}
+                # not comparable with differenced neighbors (ADVICE r2 #4);
+                # carried on the measurement result itself (ADVICE r3)
+                "rtt_fallback": res.rtt_fallback}

@@ -207,26 +207,37 @@ class BayesConv(nn.Module):
         fusable = self._can_fuse()
         int8_mode = q is not None and q.int8_infer and not train
         int8_fused = int8_mode and fusable
-        if q is not None and not int8_mode:
+        if q is not None:
+            # Always fake-quant: the float fallback branches below must see
+            # the ap_fixed-grid kernel too, or fused=False silently disables
+            # weight quantization under int8 (ADVICE r3 medium). The int8
+            # branches are unaffected — quantize_int8(fake_quant(k)) ==
+            # quantize_int8(k) since fake_quant lands exactly on the grid.
             kernel = fake_quant(kernel, q)
 
         # f32 view of a (possibly int8-residency) input for float branches
         if x.dtype == jnp.int8:
+            if q is None:
+                raise ValueError(
+                    "int8-residency input requires a quant config on the "
+                    "consuming BayesConv (emit_int8 misuse?)")
             x_f = x.astype(jnp.float32) * int8_step(q)
         else:
             x_f = x
 
-        # epilogue bias: conv bias + BN fold, each quantized as the reference
-        # quantizes the folded bias of QConv2DBatchnorm (ADVICE r2 #5)
+        # epilogue bias: conv bias + BN fold, folded FIRST and quantized
+        # ONCE so the combined bias sits on the ap_fixed grid — the
+        # reference quantizes the single folded bias of QConv2DBatchnorm
+        # (qmodels.py:163; ADVICE r3 low)
         bias_vec = None
         if self.use_bias:
             bias_vec = self.param("bias", nn.initializers.zeros,
                                   (self.features,), jnp.float32)
-            if q is not None:
-                bias_vec = fake_quant(bias_vec, q)
         if fold_bias is not None:
-            fb = fake_quant(fold_bias, q) if q is not None else fold_bias
-            bias_vec = fb if bias_vec is None else bias_vec + fb
+            bias_vec = (fold_bias if bias_vec is None
+                        else bias_vec + fold_bias)
+        if bias_vec is not None and q is not None:
+            bias_vec = fake_quant(bias_vec, q)
 
         # int8 residency: emit int8 when a ReLU is fused AND either an
         # explicit QuantAct follows (act_quant) or the caller guarantees all
@@ -243,6 +254,11 @@ class BayesConv(nn.Module):
         if int8_mode:
             xq, xs = quantize_int8(x if x.dtype == jnp.int8 else x_f, q)
             wq, ws = quantize_int8(kernel, q)
+            # float fallback branches under int8 inference must see the SAME
+            # grid values the int8 kernels consume (fused vs unfused is a
+            # pure dataflow choice, not a semantics switch — ADVICE r3
+            # medium). Derived from xq so XLA DCEs it on fused paths.
+            x_f = xq.astype(jnp.float32) * xs
         done = False      # True → epilogue consumed in-kernel
 
         if kind is DropoutKind.MASK:
@@ -391,6 +407,11 @@ class BayesDense(nn.Module):
             xq, xs = quantize_int8(x, self.quant)  # int8-residency passthru
             wq, ws = quantize_int8(kernel, self.quant)
         elif x.dtype == jnp.int8:
+            if self.quant is None:
+                raise ValueError(
+                    "int8-residency input reached a BayesDense with "
+                    "quant=None — the producing layer's emit_int8 requires "
+                    "every consumer to carry the quant config")
             # int8-residency input feeding a float branch: exact dequant
             x = x.astype(jnp.float32) * int8_step(self.quant)
 

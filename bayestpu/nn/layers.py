@@ -43,6 +43,12 @@ class Dense(nn.Module):
     # the TPU realization of the per-layer ap_fixed MAC arrays
     # (hls4ml_build.py:103-110). Exactly equals the fake-quant float path.
     int8_infer: bool = False
+    # Per-layer mixed precision: a separate grid for the BIAS only — the
+    # reference's fc_0 head quantizes its bias at 2× the base bits while the
+    # kernel stays at base bits (``s_qmodels_bayes.py:294-296``:
+    # ``bias_quantizer=quantized_bits(2*args.quant_tbit, ...)``). None →
+    # bias shares ``quant``.
+    bias_quant: QuantConfig | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -58,6 +64,11 @@ class Dense(nn.Module):
             y = int8_matmul(xq, wq, xs, ws)
         else:
             if x.dtype == jnp.int8:
+                if self.quant is None:
+                    raise ValueError(
+                        "int8-residency input reached a Dense with "
+                        "quant=None — the producing layer's emit_int8 "
+                        "requires every consumer to carry the quant config")
                 from bayestpu.core.quant import dequantize_int8
                 x = dequantize_int8(x, self.quant)
             kernel = _maybe_quant(kernel, self.quant)
@@ -66,7 +77,7 @@ class Dense(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,),
                               jnp.float32)
-            y = y + _maybe_quant(bias, self.quant)
+            y = y + _maybe_quant(bias, self.bias_quant or self.quant)
         return y
 
 
@@ -89,6 +100,11 @@ class Conv(nn.Module):
         if x.dtype == jnp.int8 and not (self.quant is not None and
                                         (self.int8_infer
                                          or self.quant.int8_infer)):
+            if self.quant is None:
+                raise ValueError(
+                    "int8-residency input reached a Conv with quant=None — "
+                    "the producing layer's emit_int8 requires every "
+                    "consumer to carry the quant config")
             from bayestpu.core.quant import dequantize_int8
             x = dequantize_int8(x, self.quant)
         if self.quant is not None and (self.int8_infer

@@ -71,7 +71,17 @@ class BasicBlock(nn.Module):
             seeds=site_seeds)
         y = ConvBN(self.planes, (3, 3), padding=_P3, quant=self.quant,
                    dtype=self.dtype, name="convbn2")(y, train=train)
-        if self.stride != 1 or x.shape[-1] != self.planes:
+        has_projection = self.stride != 1 or x.shape[-1] != self.planes
+        if (self.bayes_in is not None
+                and self.bayes_in.kind is not DropoutKind.NONE
+                and not has_projection):
+            # identity residual would bypass the mask — the single-site
+            # invariant is structural, not a caller convention (ADVICE r3)
+            raise ValueError(
+                "bayes_in on an identity BasicBlock: the residual path "
+                "would bypass the Bayesian mask; only projection blocks "
+                "(stride!=1 or channel change) accept a fused input site")
+        if has_projection:
             # same site, same seeds: the projection path sees the identical
             # mask the main path saw (single-site semantics preserved)
             residual = ConvBN(self.planes, (1, 1),
@@ -108,7 +118,15 @@ class Bottleneck(nn.Module):
                    name="convbn2")(y, train=train, act="relu")
         y = ConvBN(out_ch, (1, 1), quant=self.quant, dtype=self.dtype,
                    name="convbn3")(y, train=train)
-        if self.stride != 1 or x.shape[-1] != out_ch:
+        has_projection = self.stride != 1 or x.shape[-1] != out_ch
+        if (self.bayes_in is not None
+                and self.bayes_in.kind is not DropoutKind.NONE
+                and not has_projection):
+            raise ValueError(
+                "bayes_in on an identity Bottleneck: the residual path "
+                "would bypass the Bayesian mask; only projection blocks "
+                "accept a fused input site")
+        if has_projection:
             residual = ConvBN(out_ch, (1, 1), (self.stride, self.stride),
                               quant=self.quant, dtype=self.dtype,
                               bayes=self.bayes_in, name="downsample")(

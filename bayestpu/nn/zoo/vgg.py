@@ -135,6 +135,19 @@ class VGG(nn.Module):
     quant: QuantConfig | None = None
     dtype: jnp.dtype = jnp.float32
     fused: bool = False
+    # Per-layer-NAME precision overrides — the hls4ml config is per-layer
+    # granular (``hls4ml_build.py:74,88-100``: granularity='name' +
+    # per-LayerName Precision). Keys are this model's layer names
+    # ("block0/convbn0", "fc_0", "fc_relu_0", "classifier"); a
+    # "<name>/bias" key overrides only that layer's bias grid (the
+    # reference's fc_0 head, ``s_qmodels_bayes.py:294-296``). Values
+    # replace the model-wide ``quant`` for that layer.
+    quant_overrides: "dict[str, QuantConfig] | None" = None
+
+    def _q(self, name: str) -> QuantConfig | None:
+        if self.quant_overrides is None:
+            return self.quant
+        return self.quant_overrides.get(name, self.quant)
 
     @nn.compact
     def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False
@@ -153,7 +166,8 @@ class VGG(nn.Module):
         # exit head too, so the site must stay materialized.
         pending_site: BayesConfig | None = None
         for i, chans in enumerate(blocks):
-            out = _VGGBlock(chans, quant=q, dtype=dt, bayes_in=pending_site,
+            out = _VGGBlock(chans, quant=self._q(f"block{i}"), dtype=dt,
+                            bayes_in=pending_site,
                             name=f"block{i}")(
                 out, sample_idx=sample_idx, train=train)
             pending_site = None
@@ -191,19 +205,22 @@ class VGG(nn.Module):
         else:
             feat = out
         for j, width in enumerate(self.head_dims):
-            out = Dense(width, quant=q, dtype=dt, name=f"fc_{j}")(out)
+            out = Dense(width, quant=self._q(f"fc_{j}"),
+                        bias_quant=self._q(f"fc_{j}/bias"),
+                        dtype=dt, name=f"fc_{j}")(out)
             if j == 0:
                 out = nn.BatchNorm(use_running_average=not train,
                                    name=f"fc_bn_{j}")(out)
-            out = QuantAct(quant=q, name=f"fc_relu_{j}")(out)
+            out = QuantAct(quant=self._q(f"fc_relu_{j}"),
+                           name=f"fc_relu_{j}")(out)
             if self.head_sites:
                 out = BayesSite(self.bayes, name=f"bayes_fc_{j}")(
                     out, **site_kw)
         final_bayes = self.bayes if self.dropout_exit else dataclasses.replace(
             self.bayes, kind=DropoutKind.NONE)
         final = BayesDense(self.num_classes, bayes=final_bayes,
-                           fused=self.fused, quant=q, dtype=dt,
-                           name="classifier")(
+                           fused=self.fused, quant=self._q("classifier"),
+                           dtype=dt, name="classifier")(
             out, **site_kw)
         exits.append(final)
         feats.append(feat)
@@ -213,12 +230,31 @@ class VGG(nn.Module):
             return stack_exits(exits)
 
 
+def _mixed_head_overrides(kw: dict) -> None:
+    """``mixed_head=True``: reproduce the reference's 2×-bits fc_0 head —
+    bias at ``quantized_bits(2*tbit, ibit)`` and the following relu at
+    ``quantized_relu(2*tbit)``, kernel at base bits
+    (``qmodels.py:327-331`` / ``s_qmodels_bayes.py:294-298``)."""
+    if not kw.pop("mixed_head", False):
+        return
+    q = kw.get("quant")
+    if q is None:
+        return
+    import dataclasses as _dc
+    q2 = _dc.replace(q, total_bits=2 * q.total_bits, int8_infer=False)
+    ov = dict(kw.get("quant_overrides") or {})
+    ov.setdefault("fc_0/bias", q2)
+    ov.setdefault("fc_relu_0", q2)
+    kw["quant_overrides"] = ov
+
+
 @register_model("vgg11")
 def build_vgg11(**kw) -> VGG:
     kw.setdefault("cfg_name", "vgg11")
     kw.setdefault("num_classes", 10)
     kw.setdefault("head_dims", (512, 512))   # qmodels.py:330-343 dense head
     kw.setdefault("dropout_exit", True)
+    _mixed_head_overrides(kw)
     return VGG(**kw)
 
 
@@ -229,6 +265,7 @@ def build_vgg11_me(**kw) -> VGG:
     kw.setdefault("head_dims", (512, 512))
     kw.setdefault("n_exits", 5)
     kw.setdefault("dropout_exit", True)
+    _mixed_head_overrides(kw)
     return VGG(**kw)
 
 

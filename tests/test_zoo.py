@@ -71,3 +71,24 @@ def test_batchnorm_stats_update():
     old = jax.tree_util.tree_leaves(vs["batch_stats"])
     new = jax.tree_util.tree_leaves(upd["batch_stats"])
     assert any((a != b).any() for a, b in zip(old, new))
+
+
+def test_bayes_in_on_identity_block_raises():
+    """The single-site invariant is enforced structurally: a fused input
+    site on a block with an identity residual (no projection conv) would
+    silently bypass the mask on the residual path (ADVICE r3)."""
+    from bayestpu.nn.zoo.resnet import BasicBlock, Bottleneck
+
+    x = jnp.ones((2, 8, 8, 64), jnp.float32)
+    cfg = BayesConfig(kind=DropoutKind.MC, rate=0.25)
+    blk = BasicBlock(planes=64, stride=1, bayes_in=cfg)
+    with pytest.raises(ValueError, match="identity BasicBlock"):
+        blk.init({"params": jax.random.key(0), BAYES_RNG: jax.random.key(1)},
+                 x)
+    bot = Bottleneck(planes=16, stride=1, bayes_in=cfg)  # out_ch=64 == in
+    with pytest.raises(ValueError, match="identity Bottleneck"):
+        bot.init({"params": jax.random.key(0), BAYES_RNG: jax.random.key(1)},
+                 x)
+    # projection blocks still accept the site
+    ok = BasicBlock(planes=128, stride=2, bayes_in=cfg)
+    ok.init({"params": jax.random.key(0), BAYES_RNG: jax.random.key(1)}, x)
