@@ -151,6 +151,18 @@ def main(argv=None) -> dict:
         plateau_patience=recipe.plateau_patience,
         reshuffle=(a.pipeline == "device"), history=history, log_fn=log_fn)
 
+    if a.quant_tbit > 0 and "batch_stats" in state.extra:
+        # QAT: re-estimate BN running stats with frozen params before the
+        # checkpoint/eval (train.loop.bn_reestimate docstring has the why)
+        from bayestpu.train.loop import bn_reestimate
+        bs_train = recipe.batch_size
+        n_full = (len(ds.x_train) // bs_train) * bs_train
+        xs_re = jnp.asarray(ds.x_train[:n_full]).reshape(
+            (-1, bs_train) + ds.x_train.shape[1:])
+        state.extra = {**state.extra, "batch_stats": bn_reestimate(
+            model, state.params, state.extra["batch_stats"], xs_re, key)}
+        log_fn("BN running stats re-estimated (QAT)")
+
     ckpt = save_checkpoint(a.out, state, key)
     loss_fig = None
     if history.get("train_loss"):

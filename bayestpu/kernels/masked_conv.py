@@ -100,8 +100,17 @@ def _align(v: int, m: int) -> int:
 class _Epi(NamedTuple):
     """Static epilogue spec (hashable — feeds the lru_cached vmap rules).
 
-    ``bias``     — add a per-output-channel f32 vector (BN fold + conv bias).
-    ``act``      — None | "relu", applied after bias in f32.
+    ``bias``     — apply a per-output-channel f32 AFFINE: the bias operand
+                   is a (2, F) stack [scale_row, bias_row] and the epilogue
+                   computes ``y·scale + bias``. A plain (F,) bias is
+                   normalized to scale=1 rows by ``_Geom.pad_b``. The scale
+                   row carries the inference-time BN fold for QUANTIZED
+                   convs: folding BN into the KERNEL before quantization
+                   saturates the ap_fixed grid (folded |k| up to ~2.3
+                   measured) and breaks train/eval parity, so under quant
+                   the kernel stays on the training grid and BN rides here
+                   in f32.
+    ``act``      — None | "relu", applied after the affine in f32.
     ``out``      — output dtype tag: "f32" | "bf16" | "int8".
     ``inv_step`` — int8 out only: 1/out_step of the ap_fixed grid the output
                    is requantized onto (AP_RND round, AP_SAT clip).
@@ -125,9 +134,11 @@ def _make_epi(bias, act, out_step, out_dtype) -> _Epi:
 
 
 def _epi_apply(y: jax.Array, b_row: jax.Array, epi: _Epi) -> jax.Array:
-    """Apply the epilogue to the f32 (already dequant-scaled) accumulator."""
+    """Apply the epilogue to the f32 (already dequant-scaled) accumulator.
+
+    ``b_row`` is the (2, F) [scale, bias] stack (see ``_Epi.bias``)."""
     if epi.bias:
-        y = y + b_row
+        y = y * b_row[0:1] + b_row[1:2]
     if epi.act == "relu":
         y = jnp.maximum(y, 0.0)
     if epi.out == "int8":
@@ -255,10 +266,21 @@ class _Geom:
                            (0, self.fa - self.f)))
 
     def pad_b(self, bias: jax.Array | None) -> jax.Array:
+        """Normalize the affine operand to a padded (2, fa) [scale, bias]
+        stack: None → identity; (F,) bias → scale-of-ones; (2, F) → as-is
+        (per-channel BN fold scale in row 0 — see ``_Epi.bias``)."""
+        ones = jnp.ones((1, self.fa), jnp.float32)
         if bias is None:
-            return jnp.zeros((1, self.fa), jnp.float32)
-        return jnp.pad(bias.astype(jnp.float32).reshape(1, -1),
-                       ((0, 0), (0, self.fa - self.f)))
+            return jnp.concatenate(
+                [ones, jnp.zeros((1, self.fa), jnp.float32)], 0)
+        b = bias.astype(jnp.float32)
+        if b.ndim == 1:
+            b = b.reshape(1, -1)
+            bp = jnp.pad(b, ((0, 0), (0, self.fa - self.f)))
+            return jnp.concatenate([ones, bp], 0)
+        assert b.shape[0] == 2, b.shape
+        return jnp.pad(b, ((0, 0), (0, self.fa - self.f)),
+                       constant_values=0.0)
 
     def unpad_y(self, y: jax.Array, lead: tuple[int, ...] = ()) -> jax.Array:
         y = y.reshape(lead + (self.na, self.ho, self.wa, self.fa))
@@ -466,7 +488,7 @@ def _launch_masked(x, w, seeds, bias, *, g: _Geom, rate, epi, acc_dtype,
             pl.BlockSpec((g.kh, g.kw, g.bc, g.bf),
                          lambda i, j, c: (0, 0, c, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, g.bf), lambda i, j, c: (0, j),
+            pl.BlockSpec((2, g.bf), lambda i, j, c: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -510,7 +532,7 @@ def _launch_bank(kernel_extra, x, w, bank, idxs, bias, *, g: _Geom, epi,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_masks, g.bc), lambda i, j, c, idx: (0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, g.bf), lambda i, j, c, idx: (0, j),
+            pl.BlockSpec((2, g.bf), lambda i, j, c, idx: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -620,10 +642,21 @@ dropout_conv.defvjp(_dropout_conv_fwd, _dropout_conv_bwd)
 
 def _epi_ref(y, bias, act, out_step, out_dtype):
     """Reference (XLA) epilogue for rate==0 short-circuits — same math as
-    ``_epi_apply``."""
+    ``_epi_apply``. ``bias``: None | (F,) | (2, F) [scale, bias]."""
     epi = _make_epi(bias, act, out_step, out_dtype)
-    b = jnp.zeros((1,), jnp.float32) if bias is None else bias
-    return _epi_apply(y, b.reshape((1,) * (y.ndim - 1) + (-1,)), epi)
+    if bias is None:
+        sb = jnp.stack([jnp.ones((1,), jnp.float32),
+                        jnp.zeros((1,), jnp.float32)])
+    elif bias.ndim == 1:
+        sb = jnp.stack([jnp.ones_like(bias, dtype=jnp.float32),
+                        bias.astype(jnp.float32)])
+    else:
+        sb = bias.astype(jnp.float32)
+    shaped = sb.reshape((2,) + (1,) * (y.ndim - 1) + (-1,))
+    if epi.bias:
+        y = y * shaped[0] + shaped[1]
+    y2 = _epi_apply(y, sb, _Epi(False, epi.act, epi.out, epi.inv_step))
+    return y2
 
 
 def conv_fused(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,

@@ -140,7 +140,12 @@ def _dropout_mask_kernel(seed_ref, g_ref, o_ref, *, rate: float,
     bits = _tile_bits(g_ref.shape, seed_ref[0, 0], seed_ref[0, 1], i, k,
                       block_m, block_k)
     keep = bits < jnp.uint32(_keep_threshold(rate))
-    o_ref[:] = jnp.where(keep, g_ref[:] * (1.0 / (1.0 - rate)), 0.0)
+    # f32 store regardless of input dtype: the out ref is f32, and a bf16
+    # input (bf16 training path) would otherwise produce a bf16 value and
+    # fail the VMEM swap with a dtype mismatch on TPU
+    o_ref[:] = jnp.where(keep,
+                         g_ref[:].astype(jnp.float32) * (1.0 / (1.0 - rate)),
+                         0.0)
 
 
 def _dropout_apply(x: jax.Array, seeds: jax.Array, rate: float,

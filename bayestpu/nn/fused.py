@@ -51,6 +51,23 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _int8_conv_on_mxu(in_ch: int) -> bool:
+    """Execution routing for int8-INFERENCE convs: int8 MXU path vs
+    fake-quant float path (identical ap_fixed-grid semantics either way —
+    f32 accumulation of 8-bit-grid products is exact, so this is a pure
+    speed decision).
+
+    First-layer image convs (1–4 input channels) stay on the float path:
+    measured on a v5e (scripts/exp_int8_decomp.py, device scan timing), the
+    int8 3→64 conv at 32² runs 0.077 ms vs 0.034 ms bf16 in-model (2.3×
+    slower — 3-channel int8 contractions can't fill the MXU's int8 tiles
+    and the input quantize pass is pure overhead), while every deeper conv
+    is ~2× FASTER in int8. The reference's hls4ml flow likewise gives the
+    input layer its own precision entry (per-LayerName config,
+    ``hls4ml_build.py:88-100``)."""
+    return in_ch > 4
+
+
 def _det_conv_pallas(in_ch: int, x_shape, interp: bool) -> bool:
     """Routing for DETERMINISTIC convs (no mask to fuse): Pallas fused
     epilogue kernel vs XLA conv + XLA-fused epilogue.
@@ -197,16 +214,35 @@ class BayesConv(nn.Module):
         kshape = tuple(self.kernel_size) + (in_ch, self.features)
         kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape,
                             jnp.float32)
-        if fold_scale is not None:
-            # BN folding (ConvBN inference): scale the kernel per output
-            # channel BEFORE quantization — the reference's fused
-            # QConv2DBatchnorm quantizes the folded kernel (qmodels.py:163)
-            kernel = kernel * fold_scale
         q = self.quant
+        if fold_scale is not None and q is None:
+            # BN folding (ConvBN inference), FLOAT path: scale the kernel
+            # per output channel — one elementwise pass over the (small)
+            # kernel instead of the activation.
+            kernel = kernel * fold_scale
+        # QUANTIZED path: the BN fold must NOT touch the kernel before
+        # quantization — the folded kernel saturates the ap_fixed grid
+        # (measured |k·inv| up to 2.3 at <8,0>) and, worse, training
+        # quantizes the UNFOLDED kernel, so fold-then-quantize is a
+        # different network at eval time (measured: QAT vgg11_me trains to
+        # 100% train-mode accuracy and collapses to 0.15 eval-mode).
+        # Instead BN rides the kernel epilogue as an f32 per-channel affine
+        # (scale row of the (2,F) bias operand — kernels._Epi). This is a
+        # deliberate divergence from QConv2DBatchnorm (qmodels.py:163),
+        # which folds during training too; keeping BN f32 at both times is
+        # the TPU-native equivalent of hls4ml's wider internal accumulators
+        # and preserves exact train/eval parity.
+        epi_scale = (fold_scale.astype(jnp.float32)
+                     if fold_scale is not None and q is not None else None)
         kind = self.bayes.kind
         fusable = self._can_fuse()
         int8_mode = q is not None and q.int8_infer and not train
-        int8_fused = int8_mode and fusable
+        # execution routing: int8-residency inputs are already int8 (no
+        # choice); float inputs take the int8 MXU path only where measured
+        # faster (first-layer image convs stay float — _int8_conv_on_mxu)
+        int8_exec = int8_mode and (x.dtype == jnp.int8
+                                   or _int8_conv_on_mxu(in_ch))
+        int8_fused = int8_exec and fusable
         if q is not None:
             # Always fake-quant: the float fallback branches below must see
             # the ap_fixed-grid kernel too, or fused=False silently disables
@@ -225,19 +261,23 @@ class BayesConv(nn.Module):
         else:
             x_f = x
 
-        # epilogue bias: conv bias + BN fold, folded FIRST and quantized
-        # ONCE so the combined bias sits on the ap_fixed grid — the
-        # reference quantizes the single folded bias of QConv2DBatchnorm
-        # (qmodels.py:163; ADVICE r3 low)
+        # epilogue bias. Float path: conv bias + BN fold summed (folded
+        # first — ADVICE r3 low). Quantized path: the conv bias is
+        # fake-quanted exactly as in training, then the BN affine composes
+        # in f32 (b·scale + fold_bias) — the BN parameters are float ops at
+        # training time, so quantizing the folded result would again break
+        # train/eval parity (see epi_scale note above).
         bias_vec = None
         if self.use_bias:
             bias_vec = self.param("bias", nn.initializers.zeros,
                                   (self.features,), jnp.float32)
+            if q is not None:
+                bias_vec = fake_quant(bias_vec, q)
+        if epi_scale is not None and bias_vec is not None:
+            bias_vec = bias_vec * epi_scale
         if fold_bias is not None:
             bias_vec = (fold_bias if bias_vec is None
                         else bias_vec + fold_bias)
-        if bias_vec is not None and q is not None:
-            bias_vec = fake_quant(bias_vec, q)
 
         # int8 residency: emit int8 when a ReLU is fused AND either an
         # explicit QuantAct follows (act_quant) or the caller guarantees all
@@ -249,15 +289,23 @@ class BayesConv(nn.Module):
                      and not train and q is None else None)
         interp = _use_interpret()
         pad_k, stride_k = self._pad_stride()
-        epi_kw = dict(bias=bias_vec, act=act, out_step=out_step,
+        # kernel epilogue operand: (F,) bias, or the (2, F) [scale, bias]
+        # stack when the BN fold rides the epilogue (quantized path)
+        kb = bias_vec
+        if epi_scale is not None:
+            kb = jnp.stack([epi_scale,
+                            (bias_vec if bias_vec is not None else
+                             jnp.zeros((self.features,), jnp.float32))])
+        epi_kw = dict(bias=kb, act=act, out_step=out_step,
                       stride=stride_k)
         if int8_mode:
             xq, xs = quantize_int8(x if x.dtype == jnp.int8 else x_f, q)
             wq, ws = quantize_int8(kernel, q)
-            # float fallback branches under int8 inference must see the SAME
-            # grid values the int8 kernels consume (fused vs unfused is a
-            # pure dataflow choice, not a semantics switch — ADVICE r3
-            # medium). Derived from xq so XLA DCEs it on fused paths.
+            # float branches under int8 inference must see the SAME grid
+            # values the int8 kernels consume (fused vs unfused — and MXU
+            # vs float-routed — is a pure dataflow choice, not a semantics
+            # switch; ADVICE r3 medium). Derived from xq so XLA DCEs it on
+            # fused paths.
             x_f = xq.astype(jnp.float32) * xs
         done = False      # True → epilogue consumed in-kernel
 
@@ -327,7 +375,7 @@ class BayesConv(nn.Module):
             y = conv_int8_fused(xq, wq, xs, ws, padding=pad_k,
                                 interpret=interp, **epi_kw)
             done = True
-        elif int8_mode:
+        elif int8_exec:
             # strided / non-fusable int8 conv: XLA int8 MXU path; the
             # epilogue (incl. int8 requant) fuses into XLA's elementwise
             acc = jax.lax.conv_general_dilated(
@@ -353,6 +401,8 @@ class BayesConv(nn.Module):
 
         if not done:
             # XLA epilogue for the paths that didn't fuse it
+            if epi_scale is not None:
+                y = y * epi_scale
             if bias_vec is not None:
                 y = y + bias_vec
             if act == "relu":

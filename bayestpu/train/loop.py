@@ -485,3 +485,39 @@ def train_loop(model, state: TrainState, tx: optax.GradientTransformation,
     if val_batches is not None:
         state.params = best_params
     return state
+
+
+def bn_reestimate(model, params, batch_stats, xs, key, passes: int = 3):
+    """Re-estimate BatchNorm running statistics with FROZEN params.
+
+    Returns an updated ``batch_stats`` collection after ``passes``
+    momentum-averaged sweeps over the stacked batches ``xs``
+    ``(n_batches, B, ...)``, each sweep one ``lax.scan`` dispatch.
+
+    Why this exists: quantization-aware training moves weights in discrete
+    grid jumps, so late-training batch statistics shift abruptly and the
+    momentum-lagged running averages trail them — measured on the QAT
+    vgg11_me flagship, eval-mode deep exits sat at 0.58–0.64 accuracy while
+    train-mode (batch stats) was at 1.0; after this re-estimation every
+    exit matches train-mode exactly. Float models don't need it (their
+    running stats converge), but it is harmless there. The reference's
+    QKeras flow sidesteps the issue by folding BN into the quantized kernel
+    during training (``QConv2DBatchnorm``, ``qmodels.py:163``) — bayestpu
+    keeps BN f32 at train AND eval (see ``nn/fused.py``) and squares the
+    stats instead.
+    """
+    from bayestpu.core.rng import BAYES_RNG
+
+    @jax.jit
+    def sweep(params, bstats, xs, key):
+        def body(bs_c, xb):
+            _, upd = model.apply(
+                {"params": params, "batch_stats": bs_c}, xb, train=True,
+                rngs={BAYES_RNG: key}, mutable=["batch_stats"])
+            return upd["batch_stats"], 0
+        bs_c, _ = jax.lax.scan(body, bstats, xs)
+        return bs_c
+
+    for _ in range(max(passes, 1)):
+        batch_stats = sweep(params, batch_stats, xs, key)
+    return batch_stats

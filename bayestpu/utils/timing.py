@@ -202,6 +202,119 @@ def paired_compare(fn_a, fn_b, pairs: int = 5, iters: int = 25,
             "rtt_fallback": fallback}
 
 
+def _scan_fn(step_fn):
+    """ONE jitted sequential loop with a RUNTIME trip count: a single
+    compile serves every window length (a static-length scan would compile
+    a separate XLA program per length — ~4 large compiles per measurement,
+    ruinous for whole-model step fns)."""
+    @jax.jit
+    def f(c0, n):
+        def body(_, c):
+            out = step_fn(c)
+            s = sum(jnp.sum(leaf).astype(jnp.float32)
+                    for leaf in jax.tree.leaves(out))
+            return c + s * 1e-30
+        return jax.lax.fori_loop(0, n, body, c0)
+    return f
+
+
+def _scan_window(f, iters: int) -> float:
+    """One differenced (T(2k)−T(k))/k sample from a prepared loop fn."""
+    zero = jnp.float32(0)
+    k1 = jnp.int32(iters)
+    k2 = jnp.int32(2 * iters)
+    t0 = time.perf_counter()
+    _fence(f(zero, k1))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _fence(f(zero, k2))
+    t2 = time.perf_counter() - t0
+    d = (t2 - t1) / iters
+    return d if d > 0 else -t2 / (2 * iters)   # negative flags fallback
+
+
+def _scan_prepared(step_fn, iters: int, min_diff_s: float, max_iters: int):
+    """Compile the loop fn and size the window so the (T(2k)−T(k)) diff
+    dominates fetch-RTT jitter. Runtime trip count → sizing is free."""
+    f = _scan_fn(step_fn)
+    zero = jnp.float32(0)
+    _fence(f(zero, jnp.int32(iters)))   # compile + warm
+    t0 = time.perf_counter()
+    _fence(f(zero, jnp.int32(2 * iters)))
+    t2 = time.perf_counter() - t0
+    est = max(t2 / (2 * iters), 1e-7)
+    k = min(max_iters, max(int(min_diff_s / est) + 1, iters))
+    return f, k
+
+
+def scan_time_s(step_fn, iters: int = 50, repeats: int = 3,
+                min_diff_s: float = 0.2,
+                max_iters: int = 20000) -> WindowResult:
+    """DEVICE-side per-call time via a sequential ``lax.scan`` — the
+    noise-immune methodology for sub-ms calls on this tunnel.
+
+    Wall-clock window differencing (``measure_windows``) times a stream of
+    per-call dispatches; at ~0.3 ms/call the tunnel's dispatch throughput is
+    the same order as device time, so windows drift 2–3× run-to-run and
+    paired ratios spread 0.2–3× (VERDICT r3 weak #3; measured in
+    ``scripts/exp_int8_decomp.py``). Here the whole measurement is ONE
+    dispatch: a scan of ``iters`` serially-dependent steps; per-call time is
+    ``(T(2k) − T(k)) / k`` over two scan lengths (cancels the fetch RTT and
+    the single dispatch). Validated against the 4096³ bf16 matmul: 0.73–0.77
+    ms across repeats vs 0.71 ms ground truth, ±2% spread.
+
+    ``step_fn``: scalar carry → output pytree. The carry MUST feed the
+    computation (e.g. ``lambda c: predict(vs, x + c, key)``) — it is the
+    serial dependency that stops XLA hoisting the body out of the loop. The
+    FULL output feeds back into the carry via a sum reduction, so DCE cannot
+    slice the body down (a single-element dependency lets XLA compute just
+    that element: measured 4096³ matmul "running" in 0 ms).
+
+    Semantics note: loop-invariant work (weight quantize/cast) is hoisted
+    by XLA and NOT counted — matching steady-state serving where prepared
+    weights are reused, and equally for both sides of an A/B comparison."""
+    f, iters = _scan_prepared(step_fn, iters, min_diff_s, max_iters)
+    windows = [_scan_window(f, iters) for _ in range(max(repeats, 1))]
+    valid = sorted(w for w in windows if w > 0)
+    if not valid:
+        return WindowResult(windows=(-windows[-1],), rtt_fallback=True,
+                            k=iters)
+    return WindowResult(windows=tuple(valid), rtt_fallback=False, k=iters)
+
+
+def scan_compare(step_a, step_b, iters: int = 50, repeats: int = 3,
+                 min_diff_s: float = 0.2, max_iters: int = 20000,
+                 labels: tuple[str, str] = ("a", "b")) -> dict:
+    """A/B decision on scan-measured DEVICE times (see ``scan_time_s``).
+
+    Both sides measured with the same scan methodology, alternating
+    (a,b,a,b,…) per repeat window; decision = median per-pair ratio.
+    Sub-% reproducible where wall-clock pairing spreads 0.2–3×."""
+    la, lb = labels
+    fa, ka = _scan_prepared(step_a, iters, min_diff_s, max_iters)
+    fb, kb = _scan_prepared(step_b, iters, min_diff_s, max_iters)
+    was, wbs = [], []
+    fallback = False
+    for _ in range(max(repeats, 1)):
+        wa = _scan_window(fa, ka)
+        wb = _scan_window(fb, kb)
+        if wa <= 0 or wb <= 0:
+            fallback = True
+            wa, wb = abs(wa), abs(wb)
+        was.append(wa)
+        wbs.append(wb)
+    ratios = sorted(x / y for x, y in zip(was, wbs))
+    med = ratios[len(ratios) // 2]
+    return {f"{la}_s": sorted(was)[len(was) // 2],
+            f"{lb}_s": sorted(wbs)[len(wbs) // 2],
+            "pairs": [{f"{la}_s": x, f"{lb}_s": y,
+                       "ratio_a_over_b": x / y}
+                      for x, y in zip(was, wbs)],
+            "median_ratio_a_over_b": med,
+            "winner": la if med <= 1.0 else lb,
+            "rtt_fallback": fallback}
+
+
 def blocking_latencies_s(fn, *args, iters: int = 50,
                          warmup: int = 3) -> list[float]:
     """Per-call fetch-fenced latencies (seconds) — includes the tunnel's

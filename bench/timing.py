@@ -10,4 +10,6 @@ from bayestpu.utils.timing import (  # noqa: F401
     pipelined_best_s,
     pipelined_s,
     pipelined_windows_s,
+    scan_compare,
+    scan_time_s,
 )

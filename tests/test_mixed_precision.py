@@ -143,3 +143,75 @@ def test_vgg11_me_mixed_trains_and_evaluates():
         {"params": params, **extra})
     mets = eng.evaluate(x, y, num_samples=2)
     assert np.isfinite(mets["acc"]) and np.isfinite(mets["ece_hist"])
+
+
+def test_convbn_quant_inference_matches_training_semantics():
+    """Quantized ConvBN at inference must run the TRAINING-grid kernel
+    (fake_quant of the UNFOLDED kernel) with the BN affine applied in f32
+    afterwards — folding BN into the kernel before quantization saturates
+    the ap_fixed grid and breaks train/eval parity (round-4 QAT collapse)."""
+    from bayestpu.nn.layers import ConvBN
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(4, 8, 8, 16)), jnp.float32)
+    m = ConvBN(8, (3, 3), quant=Q8)
+    vs = m.init(jax.random.key(0), x, train=True)
+    # make the BN fold scale LARGE so fold-then-quantize would saturate
+    bstats = {"bn": {"mean": jnp.zeros((8,)),
+                     "var": jnp.full((8,), 1e-4)}}   # inv ≈ 100
+    vs = {"params": vs["params"], "batch_stats": bstats}
+    y = m.apply(vs, x, train=False, act="relu")
+
+    k = fake_quant(vs["params"]["conv"]["kernel"], Q8)
+    conv = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    pb = vs["params"]["bn"]
+    inv = jax.lax.rsqrt(bstats["bn"]["var"] + 1e-5) * pb["scale"]
+    want = jax.nn.relu(conv * inv + (pb["bias"]
+                                     - bstats["bn"]["mean"] * inv))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # and the saturating fold-then-quantize result must NOT be what we get
+    bad = jax.nn.relu(jax.lax.conv_general_dilated(
+        x, fake_quant(vs["params"]["conv"]["kernel"] * inv, Q8), (1, 1),
+        "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        + (pb["bias"] - bstats["bn"]["mean"] * inv))
+    assert float(jnp.abs(want - bad).max()) > 1.0   # the failure mode
+
+
+def test_bn_reestimate_closes_qat_eval_gap():
+    """Train a small QAT model, then bn_reestimate: eval-mode accuracy must
+    reach train-mode accuracy (the QAT running-stats drift fix)."""
+    import optax
+
+    from bayestpu.train.loop import bn_reestimate, create_state, make_train_epoch
+
+    bayes = BayesConfig(kind=DropoutKind.MC, rate=0.1)
+    m = get_model("resnet20", bayes=bayes, quant=Q8, num_classes=10)
+    key = jax.random.key(0)
+    rng = np.random.default_rng(7)
+    n, bs = 256, 32
+    x = jnp.asarray(rng.uniform(0, 1, (n, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 10, n), jnp.int32)
+    # make labels learnable: class imprinted on a corner patch
+    x = x.at[jnp.arange(n), 0, y, 0].set(3.0)
+    xs = x.reshape(n // bs, bs, 32, 32, 3)
+    ys = y.reshape(n // bs, bs)
+    tx = optax.adam(2e-3)
+    state = create_state(m, tx, key, xs[0])
+    assert "batch_stats" in state.extra
+    epoch = make_train_epoch(m, tx, has_batch_stats=True)
+    p, e, o = state.params, state.extra, state.opt_state
+    for ep in range(15):
+        p, e, o, ms = epoch(p, e, o, xs, ys, key, ep * len(xs))
+    new_bs = bn_reestimate(m, p, e["batch_stats"], xs, key, passes=2)
+    vs = {"params": p, **{**e, "batch_stats": new_bs}}
+    from bayestpu.core.rng import BAYES_RNG
+    logits = m.apply(vs, x, train=False, sample_idx=0,
+                     rngs={BAYES_RNG: key}).logits
+    acc = float((jnp.argmax(logits[-1], -1) == y).mean())
+    lg_t, _ = m.apply({"params": p, **e}, x, train=True,
+                      rngs={BAYES_RNG: key}, mutable=["batch_stats"])
+    acc_t = float((jnp.argmax(lg_t.logits[-1], -1) == y).mean())
+    assert acc >= acc_t - 0.1, (acc, acc_t)

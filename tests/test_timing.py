@@ -17,6 +17,8 @@ from bayestpu.utils.timing import (
     paired_compare,
     pipelined_s,
     pipelined_windows_s,
+    scan_compare,
+    scan_time_s,
 )
 
 
@@ -74,6 +76,40 @@ def test_measure_windows_carries_fallback_flag():
     assert hasattr(r, "rtt_fallback") and isinstance(r.rtt_fallback, bool)
     assert r.median_s > 0 and r.best_s > 0 and r.best_s <= r.median_s
     assert r.windows == tuple(sorted(r.windows))
+
+
+def test_scan_time_positive_and_stable():
+    """Device-side scan timing returns positive per-call times; the scan
+    body must not be DCE-sliced (full-reduction carry)."""
+    a = jnp.asarray(np.random.default_rng(1).normal(size=(128, 128)),
+                    jnp.float32)
+
+    def step(c):
+        return (a + c) @ a
+
+    r = scan_time_s(step, iters=8, repeats=3, min_diff_s=0.0)
+    assert r.median_s > 0
+    # a 128x128 matmul cannot take less than ~1e-8 s even on fast hardware;
+    # a DCE'd body reads ~0 — guard the slicing regression
+    assert r.median_s > 1e-8
+
+
+def test_scan_compare_detects_2x_work():
+    a = jnp.asarray(np.random.default_rng(2).normal(size=(196, 196)),
+                    jnp.float32)
+
+    def one(c):
+        return (a + c) @ a
+
+    def two(c):
+        y = (a + c) @ a
+        return y @ a
+
+    out = scan_compare(one, two, iters=8, repeats=3, min_diff_s=0.0,
+                       labels=("one", "two"))
+    assert out["winner"] == "one"
+    assert out["median_ratio_a_over_b"] < 1.0
+    assert len(out["pairs"]) == 3
 
 
 def test_paired_compare_detects_2x_work():
