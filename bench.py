@@ -404,6 +404,32 @@ def render_results(d: dict) -> str:
           f"{r['device_s'] * 1e3:.3f} | "
           + (f"{fr:.2f} |" if fr is not None else "n/a |"))
     a("")
+    import os as _os
+    decomp_path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                                "scripts", "exp_int8_decomp.json")
+    if _os.path.exists(decomp_path):
+        with open(decomp_path) as fp:
+            dec = json.load(fp)
+        pa = dec.get("prefix_attribution", {})
+        if pa:
+            a("## Per-stage device-time attribution (flagship, batch 128, "
+              "S=10)")
+            a("")
+            a("From `scripts/exp_int8_decomp.py` part B (checked-in JSON —")
+            a("its own run, not this one): model prefixes scan-timed, "
+              "successive")
+            a("deltas = per-stage device ms. Negative deltas are window "
+              "noise on")
+            a("near-free stages.")
+            a("")
+            hdr = "| stage | " + " | ".join(f"{k} Δms" for k in pa) + " |"
+            a(hdr)
+            a("|---|" + "---|" * len(pa))
+            rows = zip(*pa.values())
+            for group in rows:
+                a("| " + group[0]["prefix"] + " | "
+                  + " | ".join(f"{g['delta_ms']:.3f}" for g in group) + " |")
+            a("")
     a("## Real-dataset status")
     a("")
     if tm["bf16"]["synthetic_data"]:

@@ -171,7 +171,7 @@ def test_trained_masksembles_per_mask_parity():
 
 # ------------------------------------------------------------- EED multi-exit
 
-EED_EPOCHS, EED_NTRAIN, EED_NTEST = 5, 512, 256
+EED_EPOCHS, EED_NTRAIN, EED_NTEST = 8, 512, 256
 
 
 def test_trained_eed_multiexit_per_exit_parity():
@@ -252,6 +252,9 @@ def test_trained_eed_multiexit_per_exit_parity():
     assert len(t_acc) == len(j_acc) == 4
     assert np.mean(t_acc) > 0.45, f"torch EED failed to train: {t_acc}"
     assert np.mean(j_acc) > 0.45, f"bayestpu EED failed to train: {j_acc}"
-    assert abs(np.mean(t_acc) - np.mean(j_acc)) <= 0.05, (t_acc, j_acc)
+    assert abs(np.mean(t_acc) - np.mean(j_acc)) <= 0.04, (t_acc, j_acc)
     for e in range(4):
-        assert abs(t_acc[e] - j_acc[e]) <= 0.10, (e, t_acc, j_acc)
+        # 0.06 per-exit floor (VERDICT r3 item 8; was 0.10 — wide enough to
+        # hide a real per-exit regression). 8 epochs converge both sides
+        # close enough that cross-framework stochasticity sits well inside.
+        assert abs(t_acc[e] - j_acc[e]) <= 0.06, (e, t_acc, j_acc)
