@@ -58,13 +58,20 @@ def _int8_conv_on_mxu(in_ch: int) -> bool:
     speed decision).
 
     First-layer image convs (1–4 input channels) stay on the float path:
-    measured on a v5e (scripts/exp_int8_decomp.py, device scan timing), the
-    int8 3→64 conv at 32² runs 0.077 ms vs 0.034 ms bf16 in-model (2.3×
-    slower — 3-channel int8 contractions can't fill the MXU's int8 tiles
-    and the input quantize pass is pure overhead), while every deeper conv
-    is ~2× FASTER in int8. The reference's hls4ml flow likewise gives the
-    input layer its own precision entry (per-LayerName config,
-    ``hls4ml_build.py:88-100``)."""
+    isolated on a v5e the int8 3→64 conv at 32² loses to bf16 (3-channel
+    int8 contractions can't fill the MXU's int8 tiles and the input
+    quantize pass is pure overhead). The reference's hls4ml flow likewise
+    gives the input layer its own precision entry (per-LayerName config,
+    ``hls4ml_build.py:88-100``).
+
+    Measured caveat (v5e, device scan timing, vgg11_me in-model): sweeping
+    this threshold {4, 64, 128, ∞} moves model time by ≤1% — the int8
+    operating point's 1.26× win over bf16 comes from **int8 residency**
+    (activations at half the HBM bytes through the whole conv stack), not
+    from which unit does the multiplies; at these small spatial shapes the
+    model is traffic-limited and XLA's bf16 convs on grid-valued inputs
+    keep pace with the int8 MXU path. Kept at >4 as the measured-neutral,
+    semantically-clean choice."""
     return in_ch > 4
 
 
