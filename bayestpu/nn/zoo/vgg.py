@@ -272,12 +272,14 @@ def build_vgg11_me(**kw) -> VGG:
 @register_model("vgg16")
 def build_vgg16(**kw) -> VGG:
     kw.setdefault("cfg_name", "vgg16")
+    _mixed_head_overrides(kw)   # accepted on every vgg; no-op without fc_0
     return VGG(**kw)
 
 
 @register_model("vgg19")
 def build_vgg19(**kw) -> VGG:
     kw.setdefault("cfg_name", "vgg19")
+    _mixed_head_overrides(kw)
     return VGG(**kw)
 
 
@@ -286,4 +288,5 @@ def build_vgg19_me(**kw) -> VGG:
     kw.setdefault("cfg_name", "vgg19")
     kw.setdefault("n_exits", 5)
     kw.setdefault("dropout_exit", True)
+    _mixed_head_overrides(kw)
     return VGG(**kw)

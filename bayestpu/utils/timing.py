@@ -167,8 +167,8 @@ def paired_compare(fn_a, fn_b, pairs: int = 5, iters: int = 25,
     la, lb = labels
     _fence(fn_a())
     _fence(fn_b())
-    ka, a1, a2 = _calibrate_k(fn_a, (), iters, min_diff_s, max_iters)
-    kb, b1, b2 = _calibrate_k(fn_b, (), iters, min_diff_s, max_iters)
+    ka, _, _ = _calibrate_k(fn_a, (), iters, min_diff_s, max_iters)
+    kb, _, _ = _calibrate_k(fn_b, (), iters, min_diff_s, max_iters)
     recs = []
     fallback = False
 
@@ -182,10 +182,10 @@ def paired_compare(fn_a, fn_b, pairs: int = 5, iters: int = 25,
             d = t2 / (2 * k)
         return d
 
-    # calibration already produced one valid window each — count it as the
-    # first pair only if both sides differenced cleanly
-    if a2 - a1 > 0 and b2 - b1 > 0:
-        recs.append({f"{la}_s": (a2 - a1) / ka, f"{lb}_s": (b2 - b1) / kb})
+    # calibration windows are NOT counted as a pair: A calibrates fully
+    # before B starts, so a calibration-derived "pair" spans minutes of
+    # tunnel drift — exactly what pairing exists to cancel. Every counted
+    # pair below runs its A and B windows back-to-back.
     while len(recs) < pairs:
         recs.append({f"{la}_s": _diff(fn_a, ka), f"{lb}_s": _diff(fn_b, kb)})
     for r in recs:
@@ -235,14 +235,23 @@ def _scan_window(f, iters: int) -> float:
 
 def _scan_prepared(step_fn, iters: int, min_diff_s: float, max_iters: int):
     """Compile the loop fn and size the window so the (T(2k)−T(k)) diff
-    dominates fetch-RTT jitter. Runtime trip count → sizing is free."""
+    dominates fetch-RTT jitter. Runtime trip count → sizing is free.
+
+    The per-call estimate is itself RTT-cancelled (``(T(2k)−T(k))/k``) —
+    a whole-window estimate carries the ~30 ms fetch RTT and for sub-ms
+    steps over-estimates per-call time several-fold, which would
+    under-size k and leave the real measurement windows jitter-bound."""
     f = _scan_fn(step_fn)
     zero = jnp.float32(0)
     _fence(f(zero, jnp.int32(iters)))   # compile + warm
     t0 = time.perf_counter()
+    _fence(f(zero, jnp.int32(iters)))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
     _fence(f(zero, jnp.int32(2 * iters)))
     t2 = time.perf_counter() - t0
-    est = max(t2 / (2 * iters), 1e-7)
+    diff = (t2 - t1) / iters
+    est = max(diff if diff > 0 else t2 / (2 * iters), 1e-7)
     k = min(max_iters, max(int(min_diff_s / est) + 1, iters))
     return f, k
 
@@ -293,26 +302,29 @@ def scan_compare(step_a, step_b, iters: int = 50, repeats: int = 3,
     la, lb = labels
     fa, ka = _scan_prepared(step_a, iters, min_diff_s, max_iters)
     fb, kb = _scan_prepared(step_b, iters, min_diff_s, max_iters)
-    was, wbs = [], []
-    fallback = False
+    recs = []
     for _ in range(max(repeats, 1)):
         wa = _scan_window(fa, ka)
         wb = _scan_window(fb, kb)
-        if wa <= 0 or wb <= 0:
-            fallback = True
-            wa, wb = abs(wa), abs(wb)
-        was.append(wa)
-        wbs.append(wb)
-    ratios = sorted(x / y for x, y in zip(was, wbs))
+        ok = wa > 0 and wb > 0
+        recs.append((abs(wa), abs(wb), ok))
+    # a pair where either side hit the RTT-inclusive whole-window fallback
+    # is biased (one side carries ~30 ms the other doesn't) — exclude such
+    # pairs from the decision when any clean pair exists, and flag them
+    valid = [(a, b) for a, b, ok in recs if ok] or [(a, b)
+                                                    for a, b, ok in recs]
+    ratios = sorted(a / b for a, b in valid)
     med = ratios[len(ratios) // 2]
-    return {f"{la}_s": sorted(was)[len(was) // 2],
-            f"{lb}_s": sorted(wbs)[len(wbs) // 2],
-            "pairs": [{f"{la}_s": x, f"{lb}_s": y,
-                       "ratio_a_over_b": x / y}
-                      for x, y in zip(was, wbs)],
+    was = sorted(a for a, _ in valid)
+    wbs = sorted(b for _, b in valid)
+    return {f"{la}_s": was[len(was) // 2],
+            f"{lb}_s": wbs[len(wbs) // 2],
+            "pairs": [{f"{la}_s": a, f"{lb}_s": b,
+                       "ratio_a_over_b": a / b, "clean": ok}
+                      for a, b, ok in recs],
             "median_ratio_a_over_b": med,
             "winner": la if med <= 1.0 else lb,
-            "rtt_fallback": fallback}
+            "rtt_fallback": not all(ok for _, _, ok in recs)}
 
 
 def blocking_latencies_s(fn, *args, iters: int = 50,

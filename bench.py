@@ -102,12 +102,11 @@ def train_flagship(epochs: int = TRAIN_EPOCHS, quant: QuantConfig | None = None)
     params, extra, opt_state = state.params, state.extra, state.opt_state
     losses = []
     import time as _t
-    wall = None
+    t0 = _t.perf_counter()   # epochs==1 fallback: timing includes compile
+    timed_epochs = max(epochs - 1, 1)
     for e in range(epochs):
         if e == 1:
             # epoch 0 pays the jit compile; fence it, then time the rest
-            jax.block_until_ready(losses[0])
-            losses[0].copy_to_host_async()
             float(losses[0])
             t0 = _t.perf_counter()
         params, extra, opt_state, ms = epoch(params, extra, opt_state,
@@ -117,7 +116,7 @@ def train_flagship(epochs: int = TRAIN_EPOCHS, quant: QuantConfig | None = None)
     losses = [float(v) for v in np.asarray(jnp.stack(losses))]
     wall = _t.perf_counter() - t0
     train_tp = {"epochs": epochs, "batch": bs, "n_batches": nb,
-                "train_images_per_s": (epochs - 1) * nb * bs / wall,
+                "train_images_per_s": timed_epochs * nb * bs / wall,
                 "wall_s": wall, "first_loss": losses[0],
                 "final_loss": losses[-1],
                 "note": ("epochs 1.. timed (epoch 0 pays the compile); one "
@@ -249,7 +248,8 @@ def bench_batch_sweep(name: str, input_shape, variables=None,
                 model, vsv, xb, k, MC_SAMPLES, SamplingMode.SPATIAL).probs
 
         r = scan_time_s(_scan_step(spatial, vs, x, key),
-                        iters=max(SCAN_ITERS // (b // 128), 10), repeats=3)
+                        iters=max(SCAN_ITERS // max(b // 128, 1), 10),
+                        repeats=3)
         rec = {"batch": b, "device_s": r.median_s,
                "samples_per_s": b * MC_SAMPLES / r.median_s,
                "rtt_fallback": r.rtt_fallback}
@@ -343,7 +343,7 @@ def render_results(d: dict) -> str:
     a(f"| MC predictive throughput, vgg11_me CIFAR-10, batch 128, S=10, "
       f"bf16, {flag['winner']} mapping, **trained weights** | "
       f"**{_fmt_m(head['value'])} image-samples/s** "
-      f"({flag['spatial']['device_s'] * 1e3:.3f} ms/call device) |")
+      f"({flag[flag['winner']]['device_s'] * 1e3:.3f} ms/call device) |")
     a(f"| acc / hist-ECE / NLL at the timed operating point (bf16, "
       f"{'synthetic' if tm['bf16']['synthetic_data'] else 'real'} CIFAR-10 "
       f"test) | {tm['bf16']['acc']:.3f} / {tm['bf16']['ece_hist']:.4f} / "
@@ -355,7 +355,8 @@ def render_results(d: dict) -> str:
       f"**{head['vs_baseline']:.1f}×** |")
     a(f"| p50 / p90 single-call latency incl. tunnel RTT | "
       f"{flag['spatial']['p50_ms']:.1f} / {flag['spatial']['p90_ms']:.1f} ms |")
-    a(f"| XLA-cost-model compute fraction of v5e bf16 peak (device time) | "
+    a(f"| XLA-cost-model compute fraction of v5e bf16 peak (spatial call, "
+      f"device time) | "
       f"{flag['roofline'].get('flops_fraction_of_peak', float('nan')):.2f} |")
     a(f"| training throughput (one-dispatch epoch scan, bf16) | "
       f"{tt['train_images_per_s'] / 1e3:.1f} K images/s "

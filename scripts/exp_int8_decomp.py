@@ -47,7 +47,10 @@ def build_step(name, quant, fused=True, bayes=None, **kw):
         {"params": k, BAYES_RNG: k}, xb))(key, x)
 
     def step(c):
-        return sampler.predictive(model, vs, x + c, key, S,
+        # carry feeds BOTH the input and the key: a constant key lets XLA
+        # hoist in-graph (unfused) mask draws out of the timing loop
+        k = jax.random.fold_in(key, (c * 1e30).astype(jnp.int32))
+        return sampler.predictive(model, vs, x + c, k, S,
                                   SamplingMode.SPATIAL).probs
     return step
 
@@ -107,7 +110,8 @@ def build_prefix_step(quant, n_blocks_keep, with_exits, with_head):
         {"params": k, BAYES_RNG: k}, xb))(key, x)
 
     def step(c):
-        return sampler.predictive(m, vs2, x + c, key, S,
+        k = jax.random.fold_in(key, (c * 1e30).astype(jnp.int32))
+        return sampler.predictive(m, vs2, x + c, k, S,
                                   SamplingMode.SPATIAL).probs
     return step
 
