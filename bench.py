@@ -447,7 +447,9 @@ def render_results(d: dict) -> str:
 
 def _log(msg: str) -> None:
     import sys
-    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+    import time as _t
+    print(f"[bench {_t.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def main() -> None:
