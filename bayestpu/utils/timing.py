@@ -170,36 +170,40 @@ def paired_compare(fn_a, fn_b, pairs: int = 5, iters: int = 25,
     ka, _, _ = _calibrate_k(fn_a, (), iters, min_diff_s, max_iters)
     kb, _, _ = _calibrate_k(fn_b, (), iters, min_diff_s, max_iters)
     recs = []
-    fallback = False
 
     def _diff(fn, k):
-        nonlocal fallback
         t1 = fenced_window_s(fn, iters=k)
         t2 = fenced_window_s(fn, iters=2 * k)
         d = (t2 - t1) / k
         if d <= 0:        # jitter swallowed the difference this pair
-            fallback = True
-            d = t2 / (2 * k)
-        return d
+            return t2 / (2 * k), False
+        return d, True
 
     # calibration windows are NOT counted as a pair: A calibrates fully
     # before B starts, so a calibration-derived "pair" spans minutes of
     # tunnel drift — exactly what pairing exists to cancel. Every counted
     # pair below runs its A and B windows back-to-back.
     while len(recs) < pairs:
-        recs.append({f"{la}_s": _diff(fn_a, ka), f"{lb}_s": _diff(fn_b, kb)})
+        da, ca = _diff(fn_a, ka)
+        db, cb = _diff(fn_b, kb)
+        recs.append({f"{la}_s": da, f"{lb}_s": db, "clean": ca and cb})
     for r in recs:
         r["ratio_a_over_b"] = r[f"{la}_s"] / r[f"{lb}_s"]
-    ratios = sorted(r["ratio_a_over_b"] for r in recs)
+    # a pair where either side fell back to the RTT-inclusive whole-window
+    # estimate is biased (~30 ms one side may not carry) — exclude such
+    # pairs from the decision when any clean pair exists (mirrors
+    # scan_compare; ADVICE r4 low)
+    voting = [r for r in recs if r["clean"]] or recs
+    ratios = sorted(r["ratio_a_over_b"] for r in voting)
     med_ratio = ratios[len(ratios) // 2]
-    med_a = sorted(r[f"{la}_s"] for r in recs)[len(recs) // 2]
-    med_b = sorted(r[f"{lb}_s"] for r in recs)[len(recs) // 2]
+    med_a = sorted(r[f"{la}_s"] for r in voting)[len(voting) // 2]
+    med_b = sorted(r[f"{lb}_s"] for r in voting)[len(voting) // 2]
     return {"pairs": recs,
             f"median_{la}_s": med_a,
             f"median_{lb}_s": med_b,
             "median_ratio_a_over_b": med_ratio,
             "winner": la if med_ratio <= 1.0 else lb,
-            "rtt_fallback": fallback}
+            "rtt_fallback": not all(r["clean"] for r in recs)}
 
 
 def _scan_fn(step_fn):
@@ -286,8 +290,12 @@ def scan_time_s(step_fn, iters: int = 50, repeats: int = 3,
     windows = [_scan_window(f, iters) for _ in range(max(repeats, 1))]
     valid = sorted(w for w in windows if w > 0)
     if not valid:
-        return WindowResult(windows=(-windows[-1],), rtt_fallback=True,
-                            k=iters)
+        # every repeat hit the RTT-inclusive whole-window fallback: report
+        # the MOST conservative (largest) upper bound, matching the
+        # WindowResult docstring's promise (ADVICE r4 low — the previous
+        # ``-windows[-1]`` picked an arbitrary repeat)
+        return WindowResult(windows=(max(-w for w in windows),),
+                            rtt_fallback=True, k=iters)
     return WindowResult(windows=tuple(valid), rtt_fallback=False, k=iters)
 
 
