@@ -88,6 +88,15 @@ class QuantConfig:
     # Execute contractions as int8×int8→int32 on the MXU (requires
     # total_bits == 8). Numerically identical to the fake-quant float path.
     int8_infer: bool = False
+    # Execution routing for int8-inference convs with FLOAT inputs: in_ch >
+    # this threshold → int8 MXU path; else the fake-quant float path
+    # (identical ap_fixed-grid semantics — a pure speed knob, the analogue
+    # of hls4ml's per-layer Strategy entries). An explicit config field so
+    # routing sweeps vary a traced model attribute rather than monkeypatch
+    # module state (ADVICE r4 medium: a patch restored before re-tracing
+    # silently times the default routing). Default 4: first-layer image
+    # convs (1–4 channels) stay float. See scripts/exp_int8_routing.py.
+    int8_conv_min_ch: int = 4
 
     def __post_init__(self) -> None:
         if self.total_bits < 2 or self.total_bits > 32:

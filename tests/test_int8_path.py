@@ -81,6 +81,39 @@ def test_model_level_int8_fused_agrees_with_fake_quant(key):
         assert (a == b).mean() >= 15 / 16, (a, b)
 
 
+def test_vgg_flagship_int8_agrees_with_fake_quant(key):
+    """The FLAGSHIP int8 graph — raw-input entry conv (quant_input=False),
+    deferred post-pool residency cast (BayesConv.defer_int8), int8 exit
+    cascades — against the fake-quant float path on shared weights. All
+    three round-5 dataflow changes are bit-exactness-preserving by
+    construction (monotonic grid rounding commutes with max); this pins it
+    at model level."""
+    import jax
+    import numpy as np
+
+    from bayestpu.core.config import BayesConfig
+    from bayestpu.core.rng import BAYES_RNG
+    from bayestpu.nn.zoo import get_model
+
+    cfg = QuantConfig(total_bits=8, integer_bits=0)
+    cfg_i8 = QuantConfig(total_bits=8, integer_bits=0, int8_infer=True)
+    bayes = BayesConfig(kind="mask", num_masks=4, scale=2.0)
+    x = jax.random.normal(key, (8, 32, 32, 3)) * 0.5
+
+    m_fq = get_model("vgg11_me", bayes=bayes, quant=cfg, fused=False)
+    m_i8 = get_model("vgg11_me", bayes=bayes, quant=cfg_i8, fused=True)
+    vs = m_fq.init({"params": key, BAYES_RNG: key}, x)
+
+    for i in range(2):
+        out_fq = m_fq.apply(vs, x, sample_idx=i, train=False,
+                            rngs={BAYES_RNG: key}).logits
+        out_i8 = m_i8.apply(vs, x, sample_idx=i, train=False,
+                            rngs={BAYES_RNG: key}).logits
+        a = np.asarray(out_fq[-1]).argmax(-1)
+        b = np.asarray(out_i8[-1]).argmax(-1)
+        assert (a == b).mean() >= 7 / 8, (a, b)
+
+
 # ------------------------------------------------------- int8 residency
 
 def _perturb_bn(vs, key):
