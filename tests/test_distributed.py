@@ -126,6 +126,31 @@ def test_sharded_predictive_fused_kernels(key):
 
 
 @needs_8
+def test_sharded_predictive_int8_flagship(key):
+    """BASELINE config 5 under sharding (VERDICT r4 next #3): the int8
+    resnet18_me (CIFAR-100 shapes) — int8 Pallas kernels (interpret mode on
+    CPU devices) plus the layer-to-layer int8 residency handoffs — must
+    compile under the sharded jit and agree with the single-device spatial
+    path."""
+    from bayestpu.core.config import QuantConfig
+    from bayestpu.engine import sampler
+
+    model = get_model(
+        "resnet18_me", bayes=BayesConfig(rate=0.25), fused=True,
+        quant=QuantConfig(total_bits=8, integer_bits=0, int8_infer=True),
+        num_classes=100)
+    x = jax.random.normal(key, (8, 32, 32, 3))
+    vs = model.init({"params": key, BAYES_RNG: key}, x)
+    mesh = sharding.make_mesh(2, 4)
+    k = jax.random.key(5)
+    local = sampler.predictive(model, vs, x, k, 4)
+    shard = sharding.sharded_predictive(model, vs, x, k, 4, mesh)
+    np.testing.assert_allclose(np.asarray(shard.probs),
+                               np.asarray(local.probs),
+                               rtol=1e-4, atol=1e-5)
+
+
+@needs_8
 def test_fused_data_parallel_train_step(key):
     """One data-parallel train step through the fused dropout_matmul /
     dropout_conv VJPs with the batch sharded over all 8 devices."""

@@ -24,6 +24,10 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+# trains the reference's own torch models (~5 min) — excluded from the
+# default suite; run with `pytest -m ""` (VERDICT r4 next #7)
+pytestmark = pytest.mark.slow
+
 from bayestpu.core.config import BayesConfig, DropoutKind  # noqa: E402
 from bayestpu.core.rng import BAYES_RNG, sample_keys  # noqa: E402
 from bayestpu.data.datasets import get_dataset  # noqa: E402

@@ -32,6 +32,10 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+# trains reference torch models (minutes each) — excluded from the default
+# suite; run with `pytest -m ""` (VERDICT r4 next #7)
+pytestmark = pytest.mark.slow
+
 import optax  # noqa: E402
 
 from bayestpu.core.config import BayesConfig, DropoutKind  # noqa: E402
