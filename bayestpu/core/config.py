@@ -88,15 +88,28 @@ class QuantConfig:
     # Execute contractions as int8×int8→int32 on the MXU (requires
     # total_bits == 8). Numerically identical to the fake-quant float path.
     int8_infer: bool = False
-    # Execution routing for int8-inference convs with FLOAT inputs: in_ch >
-    # this threshold → int8 MXU path; else the fake-quant float path
+    # Execution routing for int8-inference convs: in_ch > this threshold →
+    # int8 MXU path; else the bf16 path on dequantized grid values
     # (identical ap_fixed-grid semantics — a pure speed knob, the analogue
-    # of hls4ml's per-layer Strategy entries). An explicit config field so
-    # routing sweeps vary a traced model attribute rather than monkeypatch
-    # module state (ADVICE r4 medium: a patch restored before re-tracing
-    # silently times the default routing). Default 4: first-layer image
-    # convs (1–4 channels) stay float. See scripts/exp_int8_routing.py.
-    int8_conv_min_ch: int = 4
+    # of hls4ml's per-layer Strategy entries). Applies to int8-residency
+    # inputs too (residency I/O is independent of execution dtype). An
+    # explicit config field so routing sweeps vary a traced model
+    # attribute rather than monkeypatch module state (ADVICE r4 medium).
+    # Default 64 — measured on the v5e flagship (scripts/
+    # exp_int8_routing.json, round 5): in_ch>64 beats in_ch>4 by 1.06×
+    # (XLA's int8 conv lowering loses to bf16 below ~64 input channels at
+    # these 16²-and-smaller spatial shapes), in_ch>128 gives it back, and
+    # all-bf16 execution costs 0.76× — the int8 MXU is worth 1.32× where
+    # channels are wide. First-layer image convs stay float regardless
+    # (quant_input=False consumes the raw input).
+    int8_conv_min_ch: int = 64
+    # Route DETERMINISTIC int8 convs to the Pallas fused conv kernel
+    # (conv_int8_fused) instead of XLA's int8 conv. Default False — XLA
+    # keeps its surrounding fusions; flip per-experiment to measure (the
+    # deterministic-bf16 equivalent measured 1.6× SLOWER in-model, see
+    # nn.fused._det_conv_pallas — int8 may differ because XLA's int8 conv
+    # lowering is weak at small in_ch).
+    int8_det_pallas: bool = False
 
     def __post_init__(self) -> None:
         if self.total_bits < 2 or self.total_bits > 32:

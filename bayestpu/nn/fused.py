@@ -41,7 +41,6 @@ from bayestpu.kernels.masked_matmul import (
     bank_matmul_int8_inference,
     dropout_matmul,
     dropout_matmul_inference,
-    dropout_matmul_int8,
     dropout_matmul_int8_inference,
 )
 from bayestpu.nn.bayes import MASKS_COLLECTION, BayesianDropout, Masksembles
@@ -52,23 +51,21 @@ def _use_interpret() -> bool:
 
 
 def _int8_conv_on_mxu(in_ch: int, q: QuantConfig | None = None) -> bool:
-    """Execution routing for int8-INFERENCE convs: int8 MXU path vs
-    fake-quant float path (identical ap_fixed-grid semantics either way —
-    f32 accumulation of 8-bit-grid products is exact, so this is a pure
-    speed decision). The threshold is ``QuantConfig.int8_conv_min_ch`` — a
-    model attribute, so sweeps re-trace correctly (ADVICE r4 medium).
+    """Execution routing for int8-INFERENCE convs: int8 MXU path vs the
+    bf16 path on (de)quantized grid values — identical ap_fixed-grid
+    semantics either way, so this is a pure speed decision. The threshold
+    is ``QuantConfig.int8_conv_min_ch`` — a model attribute, so sweeps
+    re-trace correctly (ADVICE r4 medium).
 
-    First-layer image convs (1–4 input channels) stay on the float path:
-    isolated on a v5e the int8 3→64 conv at 32² loses to bf16 (3-channel
-    int8 contractions can't fill the MXU's int8 tiles and the input
-    quantize pass is pure overhead). The reference's hls4ml flow likewise
-    gives the input layer its own precision entry (per-LayerName config,
-    ``hls4ml_build.py:88-100``).
-
-    In-model sweep: ``scripts/exp_int8_routing.py`` (device scan timing,
-    vgg11_me) — see the checked-in JSON for the measured effect of moving
-    the threshold."""
-    thresh = q.int8_conv_min_ch if q is not None else 4
+    Measured (v5e, in-model device scan sweep, round 5 —
+    ``scripts/exp_int8_routing.json``): threshold 64 beats 4 by 1.06×
+    (XLA's int8 conv lowering loses to bf16 below ~64 input channels at
+    ≤16² spatial), 128 gives the win back, and routing EVERY conv to bf16
+    costs 0.76× — the int8 MXU is worth 1.32× at wide channels. The
+    round-4 "thresholds within 1%" finding was an artifact of a
+    monkeypatch restored before re-trace (ADVICE r4 medium) and is
+    superseded by this sweep."""
+    thresh = q.int8_conv_min_ch if q is not None else 64
     return in_ch > thresh
 
 
@@ -83,9 +80,13 @@ def _det_conv_pallas(in_ch: int, x_shape, interp: bool) -> bool:
     vgg11_me 1.6× slower (1.38M vs 2.23M samples/s, paired fetch-fenced
     runs): each Pallas call is an opaque fusion boundary, so XLA can no
     longer fuse the surrounding casts/pools/adds into its conv fusions, and
-    the isolated-kernel win inverts. Masked sites are different — there the
-    in-kernel mask saves an HBM round-trip XLA cannot, which pays for the
-    boundary — so they always use the Pallas kernels.
+    the isolated-kernel win inverts. The int8 variant measures even worse:
+    ``QuantConfig.int8_det_pallas`` routes deterministic int8 convs to
+    ``conv_int8_fused`` and costs 6.4× in-model (round-5 sweep,
+    ``scripts/exp_int8_routing.json`` ``det_pallas`` row). Masked sites are
+    different — there the in-kernel mask saves an HBM round-trip XLA
+    cannot, which pays for the boundary — so they always use the Pallas
+    kernels.
     """
     return False
 
@@ -263,13 +264,16 @@ class BayesConv(nn.Module):
         kind = self.bayes.kind
         fusable = self._can_fuse()
         int8_mode = q is not None and q.int8_infer and not train
-        # execution routing: int8-residency inputs are already int8 (no
-        # choice); float inputs take the int8 MXU path only where measured
-        # faster (first-layer image convs stay float — _int8_conv_on_mxu)
-        # and only when the input may be quantized at all (quant_input)
-        int8_exec = int8_mode and (x.dtype == jnp.int8
-                                   or (self.quant_input
-                                       and _int8_conv_on_mxu(in_ch, q)))
+        # EXECUTION routing (which unit does the multiplies) is independent
+        # of RESIDENCY (how activations live in HBM): an int8-residency
+        # input can feed a bf16 conv through a fused dequant cast, and the
+        # epilogue still emits int8 — so the int8_conv_min_ch threshold
+        # governs residency convs too (round-5 change: previously
+        # x.dtype==int8 forced int8 execution, making the threshold sweep
+        # blind to the only convs that matter in a residency model). Float
+        # inputs additionally require quant_input.
+        int8_exec = int8_mode and _int8_conv_on_mxu(in_ch, q) and (
+            x.dtype == jnp.int8 or self.quant_input)
         int8_fused = int8_exec and fusable
         if q is not None:
             # Always fake-quant: the float fallback branches below must see
@@ -399,7 +403,8 @@ class BayesConv(nn.Module):
                 xm = BayesianDropout(rate=self.bayes.rate, name="drop")(
                     x_f, sample_idx=sample_idx, train=train)
                 y = self._xla_conv(xm, kernel, train)
-        elif int8_fused and _det_conv_pallas(in_ch, x.shape, interp):
+        elif int8_fused and (q.int8_det_pallas
+                             or _det_conv_pallas(in_ch, x.shape, interp)):
             y = conv_int8_fused(xq, wq, xs, ws, padding=pad_k,
                                 interpret=interp, **epi_kw)
             done = True
@@ -557,8 +562,14 @@ class BayesDense(nn.Module):
                             kernel.astype(self.dtype),
                             preferred_element_type=jnp.float32)
         elif int8_fused:
-            y = dropout_matmul_int8(xq, wq, jnp.zeros((2,), jnp.int32), 0.0,
-                                    xs, ws, interpret=_use_interpret())
+            # no mask to fuse (kind NONE / rate 0): plain XLA int8 MXU dot —
+            # launching the Pallas masked kernel here paid its fusion
+            # boundary + N-padding (10→128 on classifier heads) for nothing;
+            # measured 2.6× on the 16384→10 head of the blocks<=1 prefix
+            # (exp_int8_decomp round-4 "entry block" regression was largely
+            # THIS head, not the entry conv)
+            from bayestpu.core.quant import int8_matmul
+            y = int8_matmul(xq, wq, xs, ws)
         else:
             y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
                         preferred_element_type=jnp.float32)

@@ -43,12 +43,15 @@ Q = QuantConfig(total_bits=8, integer_bits=0, int8_infer=True)
 S, BATCH = 10, 128
 
 
-def build(threshold: int | None):
+def build(threshold: int | None, det_pallas: bool = False):
     """int8 flagship step fn under a routing threshold (None = default)."""
     key = jax.random.key(0)
     x = jax.random.normal(key, (BATCH, 32, 32, 3))
-    q = Q if threshold is None else dataclasses.replace(
-        Q, int8_conv_min_ch=threshold)
+    q = Q
+    if threshold is not None:
+        q = dataclasses.replace(q, int8_conv_min_ch=threshold)
+    if det_pallas:
+        q = dataclasses.replace(q, int8_det_pallas=True)
     m = get_model("vgg11_me", bayes=BayesConfig(rate=0.25), fused=True,
                   dtype=jnp.bfloat16, quant=q)
     vs = jax.jit(lambda k, xb: m.init(
@@ -66,16 +69,19 @@ def main():
            "model": "vgg11_me int8 b128 S10",
            "knob": "QuantConfig.int8_conv_min_ch", "sweep": {}}
     base = build(None)   # default threshold (>4)
-    for thresh in (64, 128, 10 ** 9):
-        cand = build(thresh)
+    cands = [(f"in_ch>{t}", build(t)) for t in (64, 128, 10 ** 9)]
+    # deterministic residency convs on the Pallas int8 fused kernel
+    # instead of XLA's int8 conv (QuantConfig.int8_det_pallas)
+    cands.append(("det_pallas", build(None, det_pallas=True)))
+    for tag, cand in cands:
         cmp = scan_compare(cand, base, iters=60, repeats=3,
-                           labels=(f"t{thresh}", "default"))
-        rec = {"candidate_ms": cmp[f"t{thresh}_s"] * 1e3,
+                           labels=(tag, "default"))
+        rec = {"candidate_ms": cmp[f"{tag}_s"] * 1e3,
                "default_ms": cmp["default_s"] * 1e3,
                "speedup_vs_default": 1.0 / cmp["median_ratio_a_over_b"],
                "ratios": [1.0 / p["ratio_a_over_b"] for p in cmp["pairs"]]}
-        out["sweep"][f"in_ch>{thresh}"] = rec
-        print(f"in_ch>{thresh}", json.dumps(rec), flush=True)
+        out["sweep"][tag] = rec
+        print(tag, json.dumps(rec), flush=True)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "exp_int8_routing.json")
     with open(path, "w") as fp:
