@@ -189,12 +189,32 @@ def dropout_matmul(x: jax.Array, w: jax.Array, seeds: jax.Array,
                                interpret)[0]
 
 
+def _align(v: int, mult: int) -> int:
+    return -(-v // mult) * mult
+
+
+def _auto_block_m(m: int, num_samples: int, block_n: int) -> int:
+    """Row-block auto-sizing — the per-shape ReuseFactor analogue
+    (``hls4ml_build.py:23-58`` derives per-layer ReuseFactors from layer
+    dims; here the knob is the M tile of the masked matmul). Measured on
+    v5e (``scripts/exp_small_tuning.json``): tall-skinny multi-sample
+    matmuls (M=2560, N≤128) run 1.28× faster at block_m 512 than the old
+    fixed 128 — fewer grid steps over the same mask stream (mask bits are
+    keyed on GLOBAL coordinates, so block size never changes values).
+    Capped so the (S, block_m, block_n) f32 accumulator + output block
+    stay ≤ ~4 MiB of VMEM."""
+    budget_rows = (4 << 20) // max(1, num_samples * block_n * 8)
+    cap = max(128, min(512, (budget_rows // 128) * 128))
+    return max(128, min(_align(m, 128), cap))
+
+
 def _dropout_matmul_fwd(x, w, seeds, rate, block_m, block_n, block_k,
                         interpret):
     if rate == 0.0:
         y = jnp.dot(x, w, preferred_element_type=jnp.float32)
         return y, (x, w, seeds)
     m, k_dim = x.shape
+    block_m = block_m or _auto_block_m(m, 1, block_n)
     k2, n = w.shape
     assert k_dim == k2, (x.shape, w.shape)
     xp = _pad_to(x, (block_m, block_k))
@@ -232,6 +252,9 @@ def _dropout_matmul_fwd(x, w, seeds, rate, block_m, block_n, block_k,
 def _dropout_matmul_bwd(rate, block_m, block_n, block_k, interpret,
                         res, g):
     x, w, seeds = res
+    # auto (0) resolves identically to the fwd: mask bits are keyed on
+    # GLOBAL coordinates, so regeneration is block-size-independent anyway
+    block_m = block_m or _auto_block_m(x.shape[0], 1, block_n)
     if rate == 0.0:
         return (g @ w.T, x.T @ g, None)
     # dx = (g @ wᵀ) ⊙ mask/keep — mask regenerated from the same seeds
@@ -289,7 +312,7 @@ def _dropout_matmul_samples_kernel(seed_ref, x_ref, w_ref, o_ref, acc_ref, *,
 
 
 def dropout_matmul_samples(x: jax.Array, w: jax.Array, seeds: jax.Array,
-                           rate: float, block_m: int = 128,
+                           rate: float, block_m: int = 0,
                            block_n: int = 128, block_k: int = 128,
                            interpret: bool = False) -> jax.Array:
     """All-samples fused MC head: ``stack([dropout_s(x) @ w for s in S])``.
@@ -309,6 +332,7 @@ def dropout_matmul_samples(x: jax.Array, w: jax.Array, seeds: jax.Array,
     if rate == 0.0:
         y = jnp.dot(x, w, preferred_element_type=jnp.float32)
         return jnp.broadcast_to(y[None], (num_samples, m, n))
+    block_m = block_m or _auto_block_m(m, num_samples, block_n)
     xp = _pad_to(x, (block_m, block_k))
     wp = _pad_to(w, (block_k, block_n))
     mp, kp = xp.shape
@@ -390,12 +414,13 @@ def _inference_vmapped(rate: float, block_m: int, block_n: int,
 
 
 def dropout_matmul_inference(x: jax.Array, w: jax.Array, seeds: jax.Array,
-                             rate: float, block_m: int = 128,
+                             rate: float, block_m: int = 0,
                              block_n: int = 128, block_k: int = 128,
                              interpret: bool = False) -> jax.Array:
     """``dropout_matmul`` for the no-grad inference path: identical values,
     plus a vmap rule that collapses a sample-mapped call into one
-    ``dropout_matmul_samples`` kernel launch."""
+    ``dropout_matmul_samples`` kernel launch. ``block_m=0`` auto-sizes the
+    row tile per shape (``_auto_block_m``)."""
     if rate == 0.0:
         return jnp.dot(x, w, preferred_element_type=jnp.float32)
     return _inference_vmapped(rate, block_m, block_n, block_k, interpret)(

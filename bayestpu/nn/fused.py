@@ -69,6 +69,20 @@ def _int8_conv_on_mxu(in_ch: int, q: QuantConfig | None = None) -> bool:
     return in_ch > thresh
 
 
+def _masked_conv_fuse_worthwhile(in_ch: int) -> bool:
+    """Shape routing for MASKED convs: the Pallas fused kernels tile the
+    channel axis to 128 lanes, so tiny-channel convs pay a large padding
+    waste — measured isolated on v5e (``scripts/exp_small_tuning.json``):
+    the masked conv at (256,14,14,20)→20 costs 0.34 ms where the unfused
+    site+XLA-conv chain is ~0.016 ms. Route masked convs below 32 input
+    channels to the unfused path (identical mask DISTRIBUTION for MC;
+    bit-identical bank selection for Masksembles — both fall inside the
+    class's documented semantics guarantee). Flagship-class sites
+    (in_ch 64–512) keep the fused kernels, where the in-kernel mask saves
+    the HBM round-trip."""
+    return in_ch >= 32
+
+
 def _det_conv_pallas(in_ch: int, x_shape, interp: bool) -> bool:
     """Routing for DETERMINISTIC convs (no mask to fuse): Pallas fused
     epilogue kernel vs XLA conv + XLA-fused epilogue.
@@ -262,7 +276,7 @@ class BayesConv(nn.Module):
         epi_scale = (fold_scale.astype(jnp.float32)
                      if fold_scale is not None and q is not None else None)
         kind = self.bayes.kind
-        fusable = self._can_fuse()
+        fusable = self._can_fuse() and _masked_conv_fuse_worthwhile(in_ch)
         int8_mode = q is not None and q.int8_infer and not train
         # EXECUTION routing (which unit does the multiplies) is independent
         # of RESIDENCY (how activations live in HBM): an int8-residency

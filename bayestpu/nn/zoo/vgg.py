@@ -76,30 +76,51 @@ class _VGGBlock(nn.Module):
     def __call__(self, x: jax.Array, *, sample_idx=0, train: bool = False
                  ) -> jax.Array:
         n = len(self.channels)
-        for i, ch in enumerate(self.channels):
-            # relu + QuantAct fold into the conv's fused epilogue at
-            # inference (one HBM store per layer; int8 mode emits int8 so
-            # activations stay on the ap_fixed grid block-to-block — the
-            # io_stream residency dataflow). QuantAct held no params, so the
-            # param tree is unchanged. The LAST conv defers the int8 cast
-            # past the max_pool (bit-exact — max commutes with the grid
-            # rounding; see BayesConv.defer_int8), so the quantize runs on
-            # 4× fewer pixels and the pool stays on the fast bf16 path.
-            x = ConvBN(ch, (3, 3), quant=self.quant, dtype=self.dtype,
-                       bayes=self.bayes_in if i == 0 else None,
-                       quant_input=self.quant_input if i == 0 else True,
-                       name=f"convbn{i}")(x, train=train,
-                                          sample_idx=sample_idx,
-                                          act="relu", act_quant=True,
-                                          defer_int8=(i == n - 1))
-        x = max_pool(x, 2, 2)
-        if (not train and self.quant is not None and self.quant.int8_infer
-                and x.dtype != jnp.int8):
-            # re-enter int8 residency after the pool (exact: the pooled
-            # values are already on the grid)
-            from bayestpu.core.quant import quantize_int8
-            x = quantize_int8(x, self.quant)[0]
-        return x
+        # construct each submodule ONCE (flax names are single-creation);
+        # body() may then call them several times with shared params
+        convs = [ConvBN(ch, (3, 3), quant=self.quant, dtype=self.dtype,
+                        bayes=self.bayes_in if i == 0 else None,
+                        quant_input=self.quant_input if i == 0 else True,
+                        name=f"convbn{i}")
+                 for i, ch in enumerate(self.channels)]
+
+        def body(xb: jax.Array) -> jax.Array:
+            for i, conv in enumerate(convs):
+                # relu + QuantAct fold into the conv's fused epilogue at
+                # inference (one HBM store per layer; int8 mode emits int8
+                # so activations stay on the ap_fixed grid block-to-block —
+                # the io_stream residency dataflow). QuantAct held no
+                # params, so the param tree is unchanged. The LAST conv
+                # defers the int8 cast past the max_pool (bit-exact — max
+                # commutes with the grid rounding; BayesConv.defer_int8).
+                xb = conv(xb, train=train, sample_idx=sample_idx,
+                          act="relu", act_quant=True,
+                          defer_int8=(i == n - 1))
+            xb = max_pool(xb, 2, 2)
+            if (not train and self.quant is not None
+                    and self.quant.int8_infer and xb.dtype != jnp.int8):
+                # re-enter int8 residency after the pool (exact: the pooled
+                # values are already on the grid)
+                from bayestpu.core.quant import quantize_int8
+                xb = quantize_int8(xb, self.quant)[0]
+            return xb
+
+        # XLA's conv→pool fusion falls off a cliff on the 32² entry shapes
+        # at batch ≥ 512 (measured: the entry stage scales 2.62×
+        # super-linearly from batch 256 to 1024 while every other stage is
+        # ~1.0 — scripts/exp_batch_falloff.json; isolated, the fused chain
+        # runs 0.46 ms at b1024 vs 0.21 ms as 4 × b256 chunks). Static
+        # ≤256-row chunks keep the good fusion; each chunk calls the SAME
+        # submodules, so params are shared and values are identical
+        # (elementwise + per-row ops). Deterministic blocks only: masked
+        # first convs key their in-kernel PRNG on the LOCAL batch
+        # coordinate, so chunking would repeat mask rows.
+        B = x.shape[0]
+        if (not train and B >= 512 and B % 256 == 0 and x.shape[1] >= 32
+                and self.bayes_in is None):
+            return jnp.concatenate(
+                [body(x[i:i + 256]) for i in range(0, B, 256)], axis=0)
+        return body(x)
 
 
 class _VGGExitHead(nn.Module):

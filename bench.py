@@ -473,6 +473,32 @@ def render_results(d: dict) -> str:
                 a("| " + group[0]["prefix"] + " | "
                   + " | ".join(f"{g['delta_ms']:.3f}" for g in group) + " |")
             a("")
+    a("## Checked-in experiment artifacts (each its own run; see the "
+      "script docstrings)")
+    a("")
+    a("| artifact | one-line conclusion |")
+    a("|---|---|")
+    a("| `scripts/exp_int8_routing.json` | int8-exec threshold in_ch>64 "
+      "is the measured optimum (1.06× over >4); all-bf16 execution with "
+      "int8 residency costs 0.76× — the int8 MXU is worth 1.32× at wide "
+      "channels; Pallas deterministic int8 convs are 6.4× slower "
+      "in-model |")
+    a("| `scripts/exp_int8_decomp.json` | per-stage device-time table "
+      "(rendered below); remaining int8-vs-bf16 losses are the entry "
+      "residency boundary (+12 µs) and ≤64-in-ch convs where XLA's int8 "
+      "lowering can't beat bf16 — both at the silicon/compiler floor, "
+      "not the dataflow |")
+    a("| `scripts/exp_small_tuning.json` | lenet_me: fused beats unfused "
+      "1.08×; isolated stage sum ≈ 63% of model time → the rest is "
+      "per-kernel dispatch/grid floor at ~1 µs across ~15 tiny kernels "
+      "(the 0.11-of-peak fraction is structural, not a tiling miss); "
+      "masked matmul auto block_m (512 at tall shapes) is 1.28× over "
+      "fixed 128; masked convs under 32 in-channels route unfused "
+      "(fused kernel pays 20× channel-padding waste there) |")
+    a("| `scripts/exp_batch_falloff.json` | per-stage batch-256-vs-1024 "
+      "attribution of the flagship (see falloff note under the batch "
+      "sweep) |")
+    a("")
     import glob as _glob
     import os as _os2
     scal = sorted(_glob.glob(_os2.path.join(

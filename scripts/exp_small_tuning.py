@@ -131,7 +131,10 @@ def part_c(out):
     xc = jax.random.normal(key, (BATCH, 14, 14, 20), jnp.bfloat16)
     wc = jax.random.normal(key, (5, 5, 20, 20), jnp.bfloat16) * 0.1
     csweep = {}
-    for bb in (0, 8, 32, 128):   # 0 = auto
+    # 0 = auto; pinned bb≥32 at this geometry fails to compile (scoped
+    # VMEM OOM at 128, compiler crash at 32 — honoring pinned knobs is
+    # by-design, the auto path is the safe one)
+    for bb in (0, 8, 16):
         t = scan_time_s(
             lambda c, bb=bb: dropout_conv_inference(
                 xc + c.astype(jnp.bfloat16), wc, seeds, 0.25,

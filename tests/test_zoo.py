@@ -92,3 +92,22 @@ def test_bayes_in_on_identity_block_raises():
     # projection blocks still accept the site
     ok = BasicBlock(planes=128, stride=2, bayes_in=cfg)
     ok.init({"params": jax.random.key(0), BAYES_RNG: jax.random.key(1)}, x)
+
+
+def test_vgg_block_batch_chunking_row_independent():
+    """_VGGBlock slices batches ≥512 into 256-row chunks at inference (the
+    XLA conv→pool fusion cliff, scripts/exp_batch_falloff.json). Per-row
+    outputs must be identical to an unchunked small-batch call — the block
+    is elementwise/per-row, so chunking is a pure dataflow change."""
+    import numpy as np
+
+    from bayestpu.nn.zoo import get_model
+
+    model = get_model("vgg11", bayes=BayesConfig(kind=DropoutKind.NONE))
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (512, 32, 32, 3))
+    vs = model.init({"params": key, BAYES_RNG: key}, x[:4])
+    big = model.apply(vs, x, train=False, rngs={BAYES_RNG: key}).logits
+    small = model.apply(vs, x[:8], train=False, rngs={BAYES_RNG: key}).logits
+    np.testing.assert_allclose(np.asarray(big[-1][:8]),
+                               np.asarray(small[-1]), rtol=2e-5, atol=2e-5)
