@@ -113,7 +113,12 @@ def test_scan_compare_detects_2x_work():
 
 
 def test_paired_compare_detects_2x_work():
-    """paired_compare must rank 2× the work as slower with a sane ratio."""
+    """paired_compare must rank 2× the work as slower with a sane ratio.
+
+    Wall-clock ranking on a shared 2-core box can be perturbed by a
+    concurrent pytest-xdist worker (one side's window absorbs the
+    neighbor's load spike) — use ≥50 ms windows and allow one retry so
+    only a systematic ranking failure trips the assert."""
     f, x = _work_fn()
 
     @jax.jit
@@ -121,9 +126,12 @@ def test_paired_compare_detects_2x_work():
         return f(a) + f(a.T)
 
     _ = f2(x)  # warm
-    out = paired_compare(lambda: f(x), lambda: f2(x),
-                         pairs=3, iters=8, min_diff_s=0.0,
-                         labels=("one", "two"))
+    for attempt in range(2):
+        out = paired_compare(lambda: f(x), lambda: f2(x),
+                             pairs=3, iters=8, min_diff_s=0.05,
+                             labels=("one", "two"))
+        if out["winner"] == "one" or attempt == 1:
+            break
     assert out["winner"] == "one"
     assert out["median_ratio_a_over_b"] < 1.0
     assert len(out["pairs"]) == 3
