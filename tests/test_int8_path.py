@@ -81,6 +81,39 @@ def test_model_level_int8_fused_agrees_with_fake_quant(key):
         assert (a == b).mean() >= 15 / 16, (a, b)
 
 
+def test_int8_routing_threshold_is_semantics_preserving(key):
+    """QuantConfig.int8_conv_min_ch is a pure execution-routing knob: the
+    same weights under threshold 4 (everything on the int8 MXU) and
+    threshold 10^9 (everything on bf16-exec over grid values) must agree —
+    the guarantee that made the round-5 routing sweep a legal speed-only
+    decision."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from bayestpu.core.config import BayesConfig
+    from bayestpu.core.rng import BAYES_RNG
+    from bayestpu.nn.zoo import get_model
+
+    base = QuantConfig(total_bits=8, integer_bits=0, int8_infer=True)
+    bayes = BayesConfig(kind="mask", num_masks=4, scale=2.0)
+    x = jax.random.normal(key, (8, 32, 32, 3)) * 0.5
+    outs = []
+    vs = None
+    for thresh in (4, 10 ** 9):
+        q = dataclasses.replace(base, int8_conv_min_ch=thresh)
+        m = get_model("vgg11_me", bayes=bayes, quant=q, fused=True)
+        if vs is None:
+            vs = m.init({"params": key, BAYES_RNG: key}, x)
+        outs.append(np.asarray(m.apply(
+            vs, x, sample_idx=0, train=False,
+            rngs={BAYES_RNG: key}).logits[-1]))
+    # int32 vs f32 accumulation differ only in last-ulp rounding
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-3, atol=2e-3)
+    assert (outs[0].argmax(-1) == outs[1].argmax(-1)).mean() >= 7 / 8
+
+
 def test_vgg_flagship_int8_agrees_with_fake_quant(key):
     """The FLAGSHIP int8 graph — raw-input entry conv (quant_input=False),
     deferred post-pool residency cast (BayesConv.defer_int8), int8 exit
