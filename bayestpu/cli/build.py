@@ -111,14 +111,16 @@ def main(argv=None) -> dict:
     # the analogue of the reference's hand-derived per-layer ReuseFactor
     # table (hls4ml_build.py:23-58), recorded so a report reader can see
     # which mapping produced the numbers (VERDICT r4 next #5)
+    from bayestpu.nn.fused import MASKED_CONV_FUSE_MIN_CH
+    from bayestpu.nn.zoo.vgg import ENTRY_BATCH_CHUNK
     q = getattr(model, "quant", None)
     report["kernel_mapping"] = {
         "masked_matmul_block_m": ("auto: min(512, VMEM-capped, M) — "
                                   "kernels.masked_matmul._auto_block_m"),
-        "masked_conv_fused_min_in_ch": 32,
+        "masked_conv_fused_min_in_ch": MASKED_CONV_FUSE_MIN_CH,
         "int8_conv_min_ch": getattr(q, "int8_conv_min_ch", None),
         "int8_det_pallas": getattr(q, "int8_det_pallas", None),
-        "entry_block_batch_chunk": 256,
+        "entry_block_batch_chunk": ENTRY_BATCH_CHUNK,
         "evidence": ["scripts/exp_small_tuning.json",
                      "scripts/exp_int8_routing.json",
                      "scripts/exp_batch_falloff.json"],

@@ -217,9 +217,17 @@ def _synthetic(name: str, n_train: int, n_test: int, seed: int = 0,
     hard = difficulty == "hard"
     if len(shape) == 3 and shape[0] > 64:
         # large-image stubs (imagenet/chestx @224): coarse 8×8 prototypes
-        # upsampled, so the proto bank stays small
+        # upsampled, so the proto bank stays small. "hard" applies the
+        # same shared-base + small-deviation structure on the coarse grid
+        # (code-review r5: the stub branch previously kept the easy,
+        # well-separated prototypes under difficulty="hard").
         rep = shape[0] // 8
-        coarse = rng.uniform(0.2, 0.8, size=(n_classes, 8, 8, shape[2]))
+        if hard:
+            cbase = rng.uniform(0.35, 0.65, size=(8, 8, shape[2]))
+            cdev = rng.normal(0, 1, size=(n_classes, 8, 8, shape[2]))
+            coarse = np.clip(cbase + HARD_PROTO_AMP * cdev, 0, 1)
+        else:
+            coarse = rng.uniform(0.2, 0.8, size=(n_classes, 8, 8, shape[2]))
         protos = np.repeat(np.repeat(coarse, rep, axis=1), rep,
                            axis=2).astype(np.float32)
         if protos.shape[1] != shape[0]:  # non-multiple-of-8 sizes

@@ -65,8 +65,15 @@ def _int8_conv_on_mxu(in_ch: int, q: QuantConfig | None = None) -> bool:
     round-4 "thresholds within 1%" finding was an artifact of a
     monkeypatch restored before re-trace (ADVICE r4 medium) and is
     superseded by this sweep."""
-    thresh = q.int8_conv_min_ch if q is not None else 64
+    thresh = (q.int8_conv_min_ch if q is not None
+              else QuantConfig.int8_conv_min_ch)
     return in_ch > thresh
+
+
+# minimum input channels for the fused masked-conv kernels to pay off
+# (128-lane channel padding waste below this); referenced by the build
+# report so the documented mapping can't drift from the code
+MASKED_CONV_FUSE_MIN_CH = 32
 
 
 def _masked_conv_fuse_worthwhile(in_ch: int) -> bool:
@@ -80,7 +87,7 @@ def _masked_conv_fuse_worthwhile(in_ch: int) -> bool:
     class's documented semantics guarantee). Flagship-class sites
     (in_ch 64–512) keep the fused kernels, where the in-kernel mask saves
     the HBM round-trip."""
-    return in_ch >= 32
+    return in_ch >= MASKED_CONV_FUSE_MIN_CH
 
 
 def _det_conv_pallas(in_ch: int, x_shape, interp: bool) -> bool:

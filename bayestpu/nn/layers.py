@@ -89,7 +89,12 @@ class Conv(nn.Module):
     use_bias: bool = True
     quant: QuantConfig | None = None
     dtype: Dtype = jnp.float32
-    int8_infer: bool = False   # see Dense.int8_infer
+    # Explicit True FORCES the int8 XLA path regardless of the routing
+    # threshold (layer-level exactness tests pin the kernel path with it);
+    # model-wide ``quant.int8_infer`` routes by in_ch against
+    # ``quant.int8_conv_min_ch``, same policy as BayesConv (code-review
+    # r5: the policy must not live in two places with different behavior).
+    int8_infer: bool = False
     # False on a model's ENTRY conv: consume the raw (off-grid) input
     # without int8-inference input quantization — the reference's first
     # layer has no input quantizer (``QConv2D(..., input_shape=...)``,
@@ -102,9 +107,12 @@ class Conv(nn.Module):
         kshape = tuple(self.kernel_size) + (in_ch, self.features)
         kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape,
                             jnp.float32)
-        if x.dtype == jnp.int8 and not (self.quant is not None and
-                                        (self.int8_infer
-                                         or self.quant.int8_infer)):
+        use_int8 = (self.quant is not None
+                    and (self.int8_infer
+                         or (self.quant.int8_infer
+                             and in_ch > self.quant.int8_conv_min_ch))
+                    and (x.dtype == jnp.int8 or self.quant_input))
+        if x.dtype == jnp.int8 and not use_int8:
             if self.quant is None:
                 raise ValueError(
                     "int8-residency input reached a Conv with quant=None — "
@@ -112,9 +120,7 @@ class Conv(nn.Module):
                     "consumer to carry the quant config")
             from bayestpu.core.quant import dequantize_int8
             x = dequantize_int8(x, self.quant)
-        if (self.quant is not None and (self.int8_infer
-                                        or self.quant.int8_infer)
-                and (x.dtype == jnp.int8 or self.quant_input)):
+        if use_int8:
             from bayestpu.core.quant import quantize_int8
             xq, xs = quantize_int8(x, self.quant)
             wq, ws = quantize_int8(kernel, self.quant)

@@ -48,6 +48,11 @@ CFGS: dict[str, list] = {
 }
 
 
+# batch-chunk size past the XLA conv→pool fusion cliff (see _VGGBlock;
+# referenced by the build report so the documented mapping tracks the code)
+ENTRY_BATCH_CHUNK = 256
+
+
 def _blocks_of(cfg: list) -> list[list[int]]:
     blocks, cur = [], []
     for v in cfg:
@@ -115,11 +120,11 @@ class _VGGBlock(nn.Module):
         # (elementwise + per-row ops). Deterministic blocks only: masked
         # first convs key their in-kernel PRNG on the LOCAL batch
         # coordinate, so chunking would repeat mask rows.
-        B = x.shape[0]
-        if (not train and B >= 512 and B % 256 == 0 and x.shape[1] >= 32
+        B, c = x.shape[0], ENTRY_BATCH_CHUNK
+        if (not train and B >= 2 * c and B % c == 0 and x.shape[1] >= 32
                 and self.bayes_in is None):
             return jnp.concatenate(
-                [body(x[i:i + 256]) for i in range(0, B, 256)], axis=0)
+                [body(x[i:i + c]) for i in range(0, B, c)], axis=0)
         return body(x)
 
 

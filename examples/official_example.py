@@ -21,6 +21,11 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
+import sys
+
+# runnable from a source checkout without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -60,7 +60,8 @@ def evaluate_on(variables, int8: bool):
     eng = BayesEngine(model, BayesConfig(rate=0.25)).attach(variables)
     return eng.evaluate(jnp.asarray(ds.x_test[:2000]),
                         jnp.asarray(ds.y_test[:2000]),
-                        num_samples=bench.MC_SAMPLES)
+                        num_samples=bench.MC_SAMPLES,
+                        ood_check=True, dataset="cifar10")
 
 
 def main():
@@ -76,6 +77,14 @@ def main():
     out["int8_qat_scratch"] = _round(mets_scratch)
     print(json.dumps(out["int8_qat_scratch"]), flush=True)
 
+    # both legs of the execution-origin comparison run through the SAME
+    # evaluate_on code path (code-review r5: one leg via train_flagship's
+    # internal eval would be apples-to-oranges)
+    print("== same QAT weights: int8 executable ==", flush=True)
+    mets_i8 = evaluate_on(qat_vs, int8=True)
+    out["qat_scratch_on_int8_executable"] = _round(mets_i8)
+    print(json.dumps(out["qat_scratch_on_int8_executable"]), flush=True)
+
     print("== same QAT weights on the fake-quant float executable ==",
           flush=True)
     mets_fq = evaluate_on(qat_vs, int8=False)
@@ -88,9 +97,9 @@ def main():
     out["int8_qat_finetuned_from_float"] = _round(mets_ft)
     print(json.dumps(out["int8_qat_finetuned_from_float"]), flush=True)
 
-    exe = {k: round(abs(out["int8_qat_scratch"][k]
+    exe = {k: round(abs(out["qat_scratch_on_int8_executable"][k]
                         - out["qat_scratch_on_fakequant_float"][k]), 5)
-           for k in ("acc", "ece_hist", "aPE")}
+           for k in ("acc", "ece_hist", "aPE", "aPE_ood")}
     out["execution_origin_delta"] = exe
     out["conclusion"] = (
         "int8-executable vs fake-quant-float rows agree to ~measurement "

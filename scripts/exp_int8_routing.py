@@ -7,8 +7,9 @@ The knob is ``QuantConfig.int8_conv_min_ch``: convs with FLOAT inputs and
 ``in_ch > threshold`` use int8 execution (int8-residency inputs have no
 choice).
 
-Method: build the int8 vgg11_me flagship at thresholds {4 (default), 64,
-128, ∞ (= float-input convs never take the int8 MXU path)} and
+Method: build the int8 vgg11_me flagship at thresholds {64 (the current
+default — adopted FROM this sweep), 4 (round-4's default: everything on
+the int8 MXU), 128, ∞ (= convs never take the int8 MXU path)} and
 scan_compare each against the default, DEVICE-side scan timing.
 
 NOTE the round-4 version of this sweep monkeypatched a module function that
@@ -68,8 +69,8 @@ def main():
     out = {"device": str(jax.devices()[0]), "method": "scan_compare",
            "model": "vgg11_me int8 b128 S10",
            "knob": "QuantConfig.int8_conv_min_ch", "sweep": {}}
-    base = build(None)   # default threshold (>4)
-    cands = [(f"in_ch>{t}", build(t)) for t in (64, 128, 10 ** 9)]
+    base = build(None)   # current default threshold (>64, from this sweep)
+    cands = [(f"in_ch>{t}", build(t)) for t in (4, 128, 10 ** 9)]
     # deterministic residency convs on the Pallas int8 fused kernel
     # instead of XLA's int8 conv (QuantConfig.int8_det_pallas)
     cands.append(("det_pallas", build(None, det_pallas=True)))

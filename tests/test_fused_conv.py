@@ -171,10 +171,20 @@ def test_mask_matches_matmul_family_prng():
 
 def test_bayes_conv_mask_exact_vs_unfused():
     """BayesConv(MASK) fused == Masksembles-site + XLA conv, bit-for-bit
-    (same bank), per mask index and in train (batch-split) mode."""
+    (same bank), per mask index and in train (batch-split) mode.
+
+    NOTE all module-level BayesConv parity tests here use in_ch ≥ 32: the
+    round-5 shape routing (``_masked_conv_fuse_worthwhile``) sends smaller
+    channel counts to the unfused path, which would make a fused-vs-unfused
+    comparison vacuous. The guard below keeps the tests honest if the gate
+    ever moves."""
+    from bayestpu.nn.fused import _masked_conv_fuse_worthwhile
+
     cfg = BayesConfig(kind=DropoutKind.MASK, num_masks=4, scale=2.0)
-    x = jnp.asarray(np.random.default_rng(7).normal(size=(8, 8, 8, 16)),
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(8, 8, 8, 32)),
                     jnp.float32)
+    assert _masked_conv_fuse_worthwhile(x.shape[-1]), (
+        "test channels below the fuse gate - fused path not exercised")
     mods = {}
     for fused in (True, False):
         m = BayesConv(24, (3, 3), bayes=cfg, fused=fused)
@@ -197,7 +207,7 @@ def test_bayes_conv_mask_exact_vs_unfused():
 
 def test_bayes_conv_mc_deterministic_and_stochastic():
     cfg = BayesConfig(kind=DropoutKind.MC, rate=0.3)
-    x = jnp.ones((4, 8, 8, 16), jnp.float32)
+    x = jnp.ones((4, 8, 8, 32), jnp.float32)
     m = BayesConv(8, (3, 3), bayes=cfg)
     v = m.init({"params": jax.random.PRNGKey(0),
                 "bayes": jax.random.PRNGKey(1)}, x)
@@ -214,7 +224,7 @@ def test_bayes_conv_strided_fused_exact():
     elementwise-mask + XLA conv result exactly — stride 2 is no longer a
     fallback case (_can_fuse accepts (2,2))."""
     cfg = BayesConfig(kind=DropoutKind.MASK, num_masks=4, scale=2.0)
-    x = jnp.asarray(np.random.default_rng(8).normal(size=(4, 8, 8, 16)),
+    x = jnp.asarray(np.random.default_rng(8).normal(size=(4, 8, 8, 32)),
                     jnp.float32)
     m = BayesConv(8, (3, 3), strides=(2, 2), bayes=cfg, fused=True)
     v = m.init(jax.random.PRNGKey(0), x)
@@ -238,7 +248,7 @@ def test_bayes_conv_int8_fused_vs_unfused_parity():
     previously ran the RAW unquantized kernel)."""
     q = QuantConfig(total_bits=8, integer_bits=0, int8_infer=True)
     cfg = BayesConfig(kind=DropoutKind.MASK, num_masks=4, scale=2.0)
-    x = jnp.asarray(np.random.default_rng(21).uniform(-1, 1, (4, 8, 8, 16)),
+    x = jnp.asarray(np.random.default_rng(21).uniform(-1, 1, (4, 8, 8, 32)),
                     jnp.float32)
     m_t = BayesConv(8, (3, 3), bayes=cfg, quant=q, fused=True)
     v = m_t.init(jax.random.PRNGKey(0), x)
@@ -257,7 +267,7 @@ def test_bayes_conv_int8_unfused_uses_quantized_weights():
     q = QuantConfig(total_bits=8, integer_bits=0, int8_infer=True)
     cfg = BayesConfig(kind=DropoutKind.MASK, num_masks=4, scale=2.0)
     rng = np.random.default_rng(22)
-    x = jnp.asarray(rng.uniform(-1, 1, (4, 8, 8, 16)), jnp.float32)
+    x = jnp.asarray(rng.uniform(-1, 1, (4, 8, 8, 32)), jnp.float32)
     m_f = BayesConv(8, (3, 3), bayes=cfg, quant=q, fused=False)
     v = m_f.init(jax.random.PRNGKey(3), x)
     y = m_f.apply(v, x, sample_idx=1)
@@ -274,7 +284,7 @@ def test_bayes_conv_int8_unfused_uses_quantized_weights():
 def test_bayes_conv_int8_close_to_float():
     q = QuantConfig(total_bits=8, integer_bits=0, int8_infer=True)
     cfg = BayesConfig(kind=DropoutKind.MASK, num_masks=4, scale=2.0)
-    x = jnp.asarray(np.random.default_rng(9).uniform(-1, 1, (4, 8, 8, 16)),
+    x = jnp.asarray(np.random.default_rng(9).uniform(-1, 1, (4, 8, 8, 32)),
                     jnp.float32)
     m_i8 = BayesConv(8, (3, 3), bayes=cfg, quant=q, fused=True)
     v = m_i8.init(jax.random.PRNGKey(0), x)
@@ -288,7 +298,7 @@ def test_bayes_conv_int8_close_to_float():
 
 def test_convbn_with_bayes_site():
     cfg = BayesConfig(kind=DropoutKind.MASK, num_masks=4, scale=2.0)
-    x = jnp.asarray(np.random.default_rng(10).normal(size=(4, 8, 8, 16)),
+    x = jnp.asarray(np.random.default_rng(10).normal(size=(4, 8, 8, 32)),
                     jnp.float32)
     m = ConvBN(8, (3, 3), bayes=cfg)
     v = m.init(jax.random.PRNGKey(0), x)
@@ -430,7 +440,7 @@ def test_bayes_conv_bf16_dtype_path():
     """dtype=bfloat16 runs the fused kernels on bf16 tiles (MXU bf16 rate);
     values match the f32 path to bf16 rounding."""
     cfg = BayesConfig(kind=DropoutKind.MC, rate=0.3)
-    x = jnp.asarray(np.random.default_rng(22).normal(size=(4, 8, 8, 16)),
+    x = jnp.asarray(np.random.default_rng(22).normal(size=(4, 8, 8, 32)),
                     jnp.float32)
     m16 = BayesConv(8, (3, 3), bayes=cfg, dtype=jnp.bfloat16)
     m32 = BayesConv(8, (3, 3), bayes=cfg, dtype=jnp.float32)
