@@ -50,24 +50,32 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _int8_conv_on_mxu(in_ch: int, q: QuantConfig | None = None) -> bool:
+def _int8_conv_on_mxu(in_ch: int, q: QuantConfig | None = None,
+                      spatial: int = 0) -> bool:
     """Execution routing for int8-INFERENCE convs: int8 MXU path vs the
     bf16 path on (de)quantized grid values — identical ap_fixed-grid
     semantics either way, so this is a pure speed decision. The threshold
     is ``QuantConfig.int8_conv_min_ch`` — a model attribute, so sweeps
     re-trace correctly (ADVICE r4 medium).
 
-    Measured (v5e, in-model device scan sweep, round 5 —
-    ``scripts/exp_int8_routing.json``): threshold 64 beats 4 by 1.06×
-    (XLA's int8 conv lowering loses to bf16 below ~64 input channels at
-    ≤16² spatial), 128 gives the win back, and routing EVERY conv to bf16
-    costs 0.76× — the int8 MXU is worth 1.32× at wide channels. The
-    round-4 "thresholds within 1%" finding was an artifact of a
-    monkeypatch restored before re-trace (ADVICE r4 medium) and is
-    superseded by this sweep."""
+    Measured (v5e, in-model device scan sweeps, round 5):
+
+    - vgg11_me (``scripts/exp_int8_routing.json``): threshold 64 beats 4
+      by 1.06× — XLA's int8 conv loses to bf16 at 64 input channels when
+      the spatial map is ≤16²; 128 gives the win back; routing EVERY conv
+      to bf16 costs 0.76× (the int8 MXU is worth 1.32× at wide channels).
+    - resnet18_me: threshold ≤32 beats 64 by 1.09–1.11× — its 64-ch
+      convs sit at 32² spatial, where the implicit-GEMM M dim is large
+      enough for the int8 lowering to win.
+
+    Hence the two-clause rule: wide channels always go int8; mid-width
+    (≥32) channels go int8 only at ≥32² spatial. Both model families'
+    measured optima satisfy it. The round-4 "thresholds within 1%"
+    finding was an artifact of a monkeypatch restored before re-trace
+    (ADVICE r4 medium) and is superseded by these sweeps."""
     thresh = (q.int8_conv_min_ch if q is not None
               else QuantConfig.int8_conv_min_ch)
-    return in_ch > thresh
+    return in_ch > thresh or (in_ch >= 32 and spatial >= 32)
 
 
 # minimum input channels for the fused masked-conv kernels to pay off
@@ -293,7 +301,8 @@ class BayesConv(nn.Module):
         # x.dtype==int8 forced int8 execution, making the threshold sweep
         # blind to the only convs that matter in a residency model). Float
         # inputs additionally require quant_input.
-        int8_exec = int8_mode and _int8_conv_on_mxu(in_ch, q) and (
+        int8_exec = int8_mode and _int8_conv_on_mxu(
+            in_ch, q, spatial=int(x.shape[1])) and (
             x.dtype == jnp.int8 or self.quant_input)
         int8_fused = int8_exec and fusable
         if q is not None:

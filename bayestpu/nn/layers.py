@@ -107,10 +107,13 @@ class Conv(nn.Module):
         kshape = tuple(self.kernel_size) + (in_ch, self.features)
         kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape,
                             jnp.float32)
+        from bayestpu.nn.fused import _int8_conv_on_mxu
         use_int8 = (self.quant is not None
                     and (self.int8_infer
                          or (self.quant.int8_infer
-                             and in_ch > self.quant.int8_conv_min_ch))
+                             and _int8_conv_on_mxu(
+                                 in_ch, self.quant,
+                                 spatial=int(x.shape[1]))))
                     and (x.dtype == jnp.int8 or self.quant_input))
         if x.dtype == jnp.int8 and not use_int8:
             if self.quant is None:

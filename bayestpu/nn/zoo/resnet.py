@@ -150,11 +150,19 @@ class _ExitHead(nn.Module):
                  ) -> tuple[jax.Array, jax.Array]:
         y = nn.relu(x)
         for i, ch in enumerate(self.channels):
+            # every cascade conv is followed by relu — fold it (plus the
+            # QuantAct grid under quant) into the conv epilogue, exactly
+            # like the vgg exit heads (round 5): one HBM store per conv,
+            # int8 residency through the cascade. Identical float values
+            # (relu position unchanged).
             y = ConvBN(ch, (3, 3), (2, 2), padding=_P3, quant=self.quant,
-                       dtype=self.dtype, name=f"convbn{i + 1}")(y, train=train)
-            if i + 1 < len(self.channels):
-                y = nn.relu(y)
-        y = avg_pool(nn.relu(y), min(4, y.shape[1]))
+                       dtype=self.dtype, name=f"convbn{i + 1}")(
+                y, train=train, act="relu", act_quant=True)
+        if y.dtype == jnp.int8:
+            # avg_pool leaves the grid; exact dequant before it
+            from bayestpu.core.quant import dequantize_int8
+            y = dequantize_int8(y, self.quant)
+        y = avg_pool(y, min(4, y.shape[1]))
         feat = y.reshape((y.shape[0], -1))
         head_bayes = self.bayes if self.bayes is not None else BayesConfig(
             kind=DropoutKind.NONE)

@@ -35,6 +35,7 @@ def test_train_cli(trained):
     assert 0.0 <= res["acc"] <= 1.0 and "aPE_ood" in res
 
 
+@pytest.mark.slow  # heavy; full tier runs it (pytest -m "")
 def test_train_cli_host_pipeline(tmp_path):
     out = str(tmp_path / "ckpt")
     res = cli_train.main([
@@ -111,6 +112,7 @@ def test_figures_cli(tmp_path):
     assert any(str(p).endswith(".png") for p in figs)
 
 
+@pytest.mark.slow  # heavy; full tier runs it (pytest -m "")
 def test_train_cli_rundb(tmp_path):
     res = cli_train.main([
         "--model", "lenet_me", "--dataset", "mnist", "--dropout_type", "mc",
@@ -123,6 +125,7 @@ def test_train_cli_rundb(tmp_path):
     assert (rd / "metrics.jsonl").exists() and (rd / "log.txt").exists()
 
 
+@pytest.mark.slow  # heavy; full tier runs it (pytest -m "")
 def test_train_cli_sharded_and_resume(tmp_path):
     """Data-parallel training over the 8-device virtual mesh through the CLI
     surface (P8), then --resume continues from the rolling checkpoint."""

@@ -64,6 +64,7 @@ def test_iterate_batches_shuffles_deterministically():
     assert not np.array_equal(np.concatenate(a), np.concatenate(c))
 
 
+@pytest.mark.slow  # heavy; full tier runs it (pytest -m "")
 def test_imagenet_chestx_stubs():
     for name, (hw, classes) in (("imagenet", (224, 1000)),
                                 ("chestx", (224, 2))):

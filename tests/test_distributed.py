@@ -126,6 +126,7 @@ def test_sharded_predictive_fused_kernels(key):
 
 
 @needs_8
+@pytest.mark.slow  # heavy; full tier runs it (pytest -m "")
 def test_sharded_predictive_int8_flagship(key):
     """BASELINE config 5 under sharding (VERDICT r4 next #3): the int8
     resnet18_me (CIFAR-100 shapes) — int8 Pallas kernels (interpret mode on

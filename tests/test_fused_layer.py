@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bayestpu.core.config import BayesConfig, DropoutKind
 from bayestpu.core.rng import BAYES_RNG
@@ -42,6 +43,7 @@ def test_mask_train_batchsplit_matches_unfused(key):
                                atol=1e-5)
 
 
+@pytest.mark.slow  # heavy; full tier runs it (pytest -m "")
 def test_mc_fused_statistics(key):
     """MC fused path: different PRNG, same distribution — check the MC mean
     of the masked matmul converges to the unmasked matmul."""

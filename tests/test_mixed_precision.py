@@ -180,6 +180,7 @@ def test_convbn_quant_inference_matches_training_semantics():
     assert float(jnp.abs(want - bad).max()) > 1.0   # the failure mode
 
 
+@pytest.mark.slow  # heavy; full tier runs it (pytest -m "")
 def test_bn_reestimate_closes_qat_eval_gap():
     """Train a small QAT model, then bn_reestimate: eval-mode accuracy must
     reach train-mode accuracy (the QAT running-stats drift fix)."""

@@ -28,6 +28,7 @@ def test_sweep_cli_axes(tmp_path, argv, axis):
     assert json.load(open(path))["rows"] == rows
 
 
+@pytest.mark.slow  # heavy; full tier runs it (pytest -m "")
 def test_sweep_samples_matrix(tmp_path):
     res = sweep.main(["samples", "--values", "2", "3", "--model", "lenet",
                       "--batch", "8", "--out", str(tmp_path)])

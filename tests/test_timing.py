@@ -105,8 +105,14 @@ def test_scan_compare_detects_2x_work():
         y = (a + c) @ a
         return y @ a
 
-    out = scan_compare(one, two, iters=8, repeats=3, min_diff_s=0.0,
-                       labels=("one", "two"))
+    # wall-clock ranking on a shared 2-core box can be perturbed by a
+    # concurrent xdist worker — sizeable windows + retries so only a
+    # systematic ranking failure trips (same treatment as paired_compare)
+    for attempt in range(3):
+        out = scan_compare(one, two, iters=8, repeats=3, min_diff_s=0.2,
+                           labels=("one", "two"))
+        if out["winner"] == "one" or attempt == 2:
+            break
     assert out["winner"] == "one"
     assert out["median_ratio_a_over_b"] < 1.0
     assert len(out["pairs"]) == 3
@@ -126,11 +132,11 @@ def test_paired_compare_detects_2x_work():
         return f(a) + f(a.T)
 
     _ = f2(x)  # warm
-    for attempt in range(2):
+    for attempt in range(3):
         out = paired_compare(lambda: f(x), lambda: f2(x),
-                             pairs=3, iters=8, min_diff_s=0.05,
+                             pairs=3, iters=8, min_diff_s=0.2,
                              labels=("one", "two"))
-        if out["winner"] == "one" or attempt == 1:
+        if out["winner"] == "one" or attempt == 2:
             break
     assert out["winner"] == "one"
     assert out["median_ratio_a_over_b"] < 1.0
