@@ -235,8 +235,14 @@ def bench_config(name: str, input_shape, batch: int, fused: bool,
     res["spatial"]["p90_ms"] = float(np.percentile(ts, 90) * 1e3)
 
     # the reference's execution pattern: host loop of per-sample predicts —
-    # dispatch-stream methodology on purpose (that cost IS the pattern)
-    w = pipelined_windows_s(host_loop, variables, x, key, iters=10)
+    # dispatch-stream methodology on purpose (that cost IS the pattern).
+    # The tunnel's dispatch throughput drifts 2–3× run-to-run, which makes
+    # this DENOMINATOR (and hence vs_baseline) the benchmark's noisiest
+    # number (observed 57–125× across identical-code runs); 7 windows +
+    # median tames the worst of it, but treat vs_baseline as an
+    # order-of-magnitude statement, not a precision one.
+    w = pipelined_windows_s(host_loop, variables, x, key, iters=10,
+                            repeats=7)
     med = w[len(w) // 2]
     res["temporal_host_loop"] = {"dispatch_stream_s": med,
                                  "samples_per_s": batch * MC_SAMPLES / med}
@@ -391,6 +397,12 @@ def render_results(d: dict) -> str:
       f"{tt['train_images_per_s'] / 1e3:.1f} K images/s "
       f"({tt['epochs']} epochs, loss {tt['first_loss']:.3f} → "
       f"{tt['final_loss']:.3f}) |")
+    a("")
+    a("`vs_baseline` divides by the host-loop pattern's dispatch-stream")
+    a("throughput, which drifts 2–3× with tunnel conditions run-to-run")
+    a("(observed 57–125× across identical-code runs) — read it as an")
+    a("order-of-magnitude statement. The device scan numbers above are the")
+    a("±2%-reproducible ones.")
     a("")
     a("## int8 vs bf16, each at its own trained operating point "
       "(float-trained / QAT; paired scan windows)")
