@@ -543,9 +543,12 @@ def render_results(d: dict) -> str:
       "masked matmul auto block_m (512 at tall shapes) is 1.28× over "
       "fixed 128; masked convs under 32 in-channels route unfused "
       "(fused kernel pays 20× channel-padding waste there) |")
-    a("| `scripts/exp_batch_falloff.json` | per-stage batch-256-vs-1024 "
-      "attribution of the flagship (see falloff note under the batch "
-      "sweep) |")
+    a("| `scripts/exp_batch_falloff.json` | per-stage batch-1/256/1024 "
+      "attribution of the flagship: after entry-block chunking every "
+      "stage scales ~linearly 256→1024 (ratios 0.79–1.13); batch-1 "
+      "deltas are flat per-stage fixed costs (1–12 µs/stage regardless "
+      "of FLOPs) — the batch-1 latency config's 0.13-of-peak fraction is "
+      "a dispatch/shape floor, not a mapping miss |")
     a("")
     import glob as _glob
     import os as _os2
