@@ -665,6 +665,15 @@ def main() -> None:
                      bayes=BayesConfig(kind=DropoutKind.MASK, num_masks=4,
                                        scale=2.0),
                      tag="masksembles"))
+    # and its QUANTIZED twin: the reference's mask-ensemble HW models are
+    # 8-bit like the MCD ones (scripts/lat_resource_eval/*/mask_ensemble),
+    # so the bank_*_int8 kernels get a measured row too
+    details["configs"].append(
+        bench_config("vgg11_me", (32, 32, 3), batch=128, fused=True,
+                     quant=INT8_Q,
+                     bayes=BayesConfig(kind=DropoutKind.MASK, num_masks=4,
+                                       scale=2.0),
+                     tag="masksembles int8"))
 
     # BASELINE config 5: int8 ResNet-18 multi-exit MCD on CIFAR-100. The
     # sample axis shards across a pod via engine/sharding (validated on the
