@@ -110,6 +110,17 @@ class QuantConfig:
     # nn.fused._det_conv_pallas — int8 may differ because XLA's int8 conv
     # lowering is weak at small in_ch).
     int8_det_pallas: bool = False
+    # Execution routing for int8-inference DENSE layers (plain Dense and
+    # BayesDense heads): in_features >= this threshold → int8 MXU path;
+    # else bf16 on the same ap_fixed grid (semantics-identical speed knob,
+    # same pattern as int8_conv_min_ch). Motivated by the per-stage
+    # decomposition's head stage running 0.025 ms int8 vs 0.010 bf16
+    # (scripts/exp_int8_decomp.json) — but the in-model sweep
+    # (scripts/exp_int8_dense_routing.json, v5e flagship) measures routing
+    # the 512-wide heads to bf16 as a WASH (1.000×, pair spread ±4%):
+    # the head-stage delta is the masked Pallas matmuls + stage boundary,
+    # not the dense int8 brackets. Default 0 = every dense int8.
+    int8_dense_min_dim: int = 0
 
     def __post_init__(self) -> None:
         if self.total_bits < 2 or self.total_bits > 32:

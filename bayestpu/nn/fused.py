@@ -522,7 +522,8 @@ class BayesDense(nn.Module):
         # Fully-int8 fused inference (the paper's ap_fixed<8,0> operating
         # point on the MXU int8 path, mask generated in-kernel).
         int8_fused = (self.quant is not None and self.quant.int8_infer
-                      and self.fused and not train)
+                      and self.fused and not train
+                      and in_features >= self.quant.int8_dense_min_dim)
         if self.quant is not None and not int8_fused:
             kernel = fake_quant(kernel, self.quant)
         if int8_fused:

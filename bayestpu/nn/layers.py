@@ -56,7 +56,9 @@ class Dense(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features),
             jnp.float32)
         if self.quant is not None and (self.int8_infer
-                                       or self.quant.int8_infer):
+                                       or (self.quant.int8_infer
+                                           and x.shape[-1] >=
+                                           self.quant.int8_dense_min_dim)):
             from bayestpu.core.quant import int8_matmul, quantize_int8
             # an int8-residency input is already on the grid: no requantize
             xq, xs = quantize_int8(x, self.quant)

@@ -114,6 +114,41 @@ def test_int8_routing_threshold_is_semantics_preserving(key):
     assert (outs[0].argmax(-1) == outs[1].argmax(-1)).mean() >= 7 / 8
 
 
+def test_int8_dense_routing_threshold_is_semantics_preserving(key):
+    """QuantConfig.int8_dense_min_dim is the DENSE twin of the conv routing
+    knob: the same weights with every dense layer on the int8 MXU
+    (min_dim=0, the default), only sub-513-wide heads on bf16 (513), and
+    all dense on bf16 (10^9) must agree on the same ap_fixed grid — the
+    guarantee that made scripts/exp_int8_dense_routing.json a legal
+    speed-only sweep (measured a wash in-model; knob retained for other
+    chips/shapes)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from bayestpu.core.config import BayesConfig
+    from bayestpu.core.rng import BAYES_RNG
+    from bayestpu.nn.zoo import get_model
+
+    base = QuantConfig(total_bits=8, integer_bits=0, int8_infer=True)
+    bayes = BayesConfig(rate=0.25)
+    x = jax.random.normal(key, (8, 32, 32, 3)) * 0.5
+    outs = []
+    vs = None
+    for min_dim in (0, 513, 10 ** 9):
+        q = dataclasses.replace(base, int8_dense_min_dim=min_dim)
+        m = get_model("vgg11_me", bayes=bayes, quant=q, fused=True)
+        if vs is None:
+            vs = m.init({"params": key, BAYES_RNG: key}, x)
+        outs.append(np.asarray(m.apply(
+            vs, x, sample_idx=0, train=False,
+            rngs={BAYES_RNG: key}).logits[-1]))
+    for other in outs[1:]:
+        np.testing.assert_allclose(outs[0], other, rtol=2e-3, atol=2e-3)
+        assert (outs[0].argmax(-1) == other.argmax(-1)).mean() >= 7 / 8
+
+
 def test_vgg_flagship_int8_agrees_with_fake_quant(key):
     """The FLAGSHIP int8 graph — raw-input entry conv (quant_input=False),
     deferred post-pool residency cast (BayesConv.defer_int8), int8 exit
