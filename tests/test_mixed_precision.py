@@ -216,3 +216,48 @@ def test_bn_reestimate_closes_qat_eval_gap():
                       rngs={BAYES_RNG: key}, mutable=["batch_stats"])
     acc_t = float((jnp.argmax(lg_t.logits[-1], -1) == y).mean())
     assert acc >= acc_t - 0.1, (acc, acc_t)
+
+
+def test_vgg_quantize_late_overrides():
+    """Quantize-LATE mixed precision (``scripts/exp_quantize_late.py``):
+    ``quant_overrides={"block0": None, "block1": None}`` keeps the first two
+    backbone blocks float (residency enters int8 only at block 2 — the
+    measured crossover where the int8 MXU starts winning), expressing the
+    reference's per-layer-Precision freedom (``hls4ml_build.py:88-100``).
+    Checks the residency boundary dtypes and fake-quant-twin parity."""
+    bayes = BayesConfig(kind=DropoutKind.MASK, num_masks=4, scale=2.0)
+    late = {"block0": None, "block1": None}
+    x = jnp.asarray(np.random.default_rng(3).uniform(-1, 1, (4, 32, 32, 3)),
+                    jnp.float32)
+    m = get_model("vgg11", bayes=bayes, quant=Q8I, fused=True,
+                  quant_overrides=late)
+    key = jax.random.key(0)
+    vs = m.init({"params": key, BAYES_RNG: key}, x)
+    out, inter = m.apply(
+        vs, x, train=False, rngs={BAYES_RNG: key},
+        capture_intermediates=lambda mdl, name: mdl.name in ("block1",
+                                                             "block2"))
+    caps = inter["intermediates"]
+    b1 = jax.tree.leaves(caps["block1"])[0]
+    b2 = jax.tree.leaves(caps["block2"])[0]
+    assert b1.dtype != jnp.int8, "float block leaked into int8 residency"
+    assert b2.dtype == jnp.int8, "int8 residency must start at block2"
+
+    # fake-quant float twin with the SAME overrides agrees
+    m_fq = get_model("vgg11", bayes=bayes, fused=True,
+                     quant=dataclasses.replace(Q8I, int8_infer=False),
+                     quant_overrides={k: None for k in late})
+    # twin needs identical overrides structure: blocks 0-1 float, rest FQ
+    out_f = m_fq.apply(vs, x, train=False, rngs={BAYES_RNG: key})
+    np.testing.assert_allclose(np.asarray(out.logits),
+                               np.asarray(out_f.logits), atol=0.08)
+
+    # fewer quantized layers -> no FARTHER from the all-float model than
+    # the fully-quantized point (sanity on the quality direction)
+    m_f32 = get_model("vgg11", bayes=bayes, fused=True, quant=None)
+    out_32 = m_f32.apply(vs, x, train=False, rngs={BAYES_RNG: key})
+    m_full = get_model("vgg11", bayes=bayes, fused=True, quant=Q8I)
+    out_q = m_full.apply(vs, x, train=False, rngs={BAYES_RNG: key})
+    d_late = float(jnp.abs(out.logits - out_32.logits).mean())
+    d_full = float(jnp.abs(out_q.logits - out_32.logits).mean())
+    assert d_late <= d_full + 0.02, (d_late, d_full)
