@@ -570,6 +570,14 @@ def render_results(d: dict) -> str:
       "1.025×, spread ±5%) — the head-stage int8 delta in the "
       "decomposition is the masked Pallas matmuls + stage boundary, not "
       "the dense int8 quantize/rescale brackets |")
+    a("| `scripts/exp_quantize_late.json` | quantize-LATE mixed "
+      "precision (blocks 0-1 float via `quant_overrides={'block0': None, "
+      "'block1': None}`, int8 residency from block 2) recovers only "
+      "1.04× of the 25 µs the per-stage table charges to int8 blocks "
+      "0-1 (best point 1.357× vs bf16, vs full-int8's 1.333×), and "
+      "delaying to block 3 regresses 0.91× — the residual is the "
+      "residency boundary itself (it moves, it doesn't vanish), "
+      "confirming the silicon/compiler-floor attribution |")
     a("")
     import glob as _glob
     import os as _os2
