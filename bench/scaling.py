@@ -44,6 +44,37 @@ def measure_at(model, variables, x, num_samples: int, n_dev: int,
     return x.shape[0] * num_samples / dt
 
 
+def analytic_ici_efficiency(flops_total: float, payload_bytes: float,
+                            n: int, achieved_fraction: float = 0.61,
+                            peak_flops: float = 197e12,
+                            ici_bw: float = 200e9,
+                            hop_latency_s: float = 1e-6) -> dict:
+    """Predicted real-hardware scaling efficiency from the comm/compute
+    ratio (the scaling-book recipe: pick the sharding, count the collective
+    bytes, divide by ICI bandwidth).
+
+    The sample-axis predictive is embarrassingly parallel except for ONE
+    collective: the mean/var reduction over ``sample``, an all-reduce of
+    the two (exits, batch, classes) f32 moment tensors
+    (``engine/sharding.sharded_predictive``). Ring all-reduce moves
+    ~2×payload over ICI regardless of N; per-device compute shrinks as 1/N.
+
+    * ``achieved_fraction`` — the measured single-chip compute fraction
+      (RESULTS.md headline, 0.61), so the prediction is anchored to the
+      real kernel efficiency, not the theoretical peak.
+    * ``ici_bw`` — TPU v5e public spec: 1600 Gbps ICI per chip = 200 GB/s.
+    * ``hop_latency_s`` — per-hop collective latency, log2(N) hops.
+    """
+    import math as _m
+
+    t_comp = (flops_total / n) / (achieved_fraction * peak_flops)
+    t_comm = 2.0 * payload_bytes / ici_bw + hop_latency_s * _m.log2(max(n, 2))
+    return {"devices": n,
+            "t_compute_us": round(t_comp * 1e6, 2),
+            "t_allreduce_us": round(t_comm * 1e6, 2),
+            "efficiency": round(t_comp / (t_comp + t_comm), 4)}
+
+
 def main(argv=None) -> dict:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="vgg11_me")
@@ -102,6 +133,51 @@ def main(argv=None) -> dict:
                  else "real multi-device scaling",
         "scaling": rows,
     }
+
+    # Analytic ICI prediction for REAL hardware (virtual-mesh runs cannot
+    # measure wall-clock scaling; this is the quantitative backing for the
+    # BASELINE >=80% target). FLOPs from XLA's cost model on the actual
+    # predictive executable; payload = the mean+var all-reduce tensors.
+    try:
+        from bayestpu.engine import sampler as _sampler
+        from bayestpu.core.config import SamplingMode as _SM
+
+        compiled = jax.jit(
+            lambda vs, xb, k: _sampler.predictive(
+                model, vs, xb, k, a.samples, _SM.SPATIAL).probs
+        ).lower(variables, x, key).compile()
+        cost = compiled.cost_analysis() or {}
+        flops_total = float(cost.get("flops") or 0.0)
+        probs_shape = compiled(variables, x, key).shape  # (E?, B, C)
+        payload = 2 * 4 * int(jnp.prod(jnp.asarray(probs_shape)))
+        if flops_total > 0:
+            # sample axis caps at S devices; beyond that the data axis
+            # takes over (same all-reduce payload, batch-sharded compute)
+            out["analytic_ici_model"] = {
+                "note": ("predicted REAL-hardware efficiency from the "
+                         "comm/compute ratio: the only collective is the "
+                         "mean/var all-reduce over `sample` "
+                         "(2 f32 (exits,batch,classes) tensors); compute "
+                         "anchored to the measured single-chip fraction"),
+                "flops_per_step": flops_total,
+                "allreduce_payload_bytes": payload,
+                "achieved_fraction_anchor": 0.61,
+                "ici_bw_gbytes_s": 200.0,
+                # STRONG scaling: fixed problem; compute shrinks 1/N while
+                # the all-reduce (and its log2(N) hop latency) does not, so
+                # a 0.3 ms step goes latency-bound past ~16 devices.
+                "rows": [analytic_ici_efficiency(flops_total, payload, n)
+                         for n in (2, 4, 8, 16, 64, 256)],
+                # WEAK scaling (the serving regime): batch grows with the
+                # data axis, per-device compute is constant, and the
+                # sample-axis all-reduce stays per-data-shard-group — its
+                # payload does NOT grow with the mesh.
+                "rows_weak": [
+                    analytic_ici_efficiency(flops_total * n, payload, n)
+                    for n in (2, 4, 8, 16, 64, 256)],
+            }
+    except Exception as e:   # cost model is best-effort; never fail the run
+        out["analytic_ici_model"] = {"error": repr(e)}
     print(json.dumps(out, indent=2))
     if a.out:
         with open(a.out, "w") as fp:
